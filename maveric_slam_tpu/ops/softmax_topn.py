@@ -85,9 +85,9 @@ class TopN(NamedTuple):
     num_selected: jnp.ndarray  # () int32
 
 
-@partial(jax.jit, static_argnames=("n",))
+@partial(jax.jit, static_argnames=("n", "mode"))
 def top_n_select(
-    grid: SoftmaxGrid, n: int = 100, valid_thresh: float = 0.01
+    grid: SoftmaxGrid, n: int = 100, valid_thresh: float = 0.01, mode: str = "reference"
 ) -> TopN:
     """Select ~N features by the reference's interpolated-threshold rule.
 
@@ -120,18 +120,70 @@ def top_n_select(
     # If few enough, keep everything valid; else apply the threshold.
     keep = jnp.where(num_valid <= n, valid, valid & (probs >= threshold))
 
-    # First-N-in-scan-order: rank kept cells by ascending scan order.
-    key = jnp.where(keep, num_cells - scan_rank, 0)
+    if mode == "prob":
+        # Keep the N highest-probability valid cells. Spatially unbiased —
+        # the reference's scan-order cap clips features to the leftmost
+        # columns whenever more than N cells pass its threshold, which
+        # starves the epipolar geometry on one side of the image.
+        key = jnp.where(valid, probs, 0.0)
+    else:
+        # Bug-compatible reference semantics (top_N.c:108-131):
+        # first-N-in-scan-order among threshold survivors.
+        key = jnp.where(keep, (num_cells - scan_rank).astype(jnp.float32), 0.0)
     vals, cells = jax.lax.top_k(key, n)
     mask = vals > 0
     cells = jnp.where(mask, cells, 0).astype(jnp.int32)
+    selected_pool = valid if mode == "prob" else keep
     return TopN(
         cells=cells,
         indices=indices[cells],
         probs=jnp.where(mask, probs[cells], -1.0),
         mask=mask,
-        num_selected=jnp.minimum(jnp.sum(keep), n).astype(jnp.int32),
+        num_selected=jnp.minimum(jnp.sum(selected_pool), n).astype(jnp.int32),
     )
+
+
+@partial(jax.jit, static_argnames=("degree",))
+def subpixel_xy(
+    semi_q: jnp.ndarray, scale: jnp.ndarray, grid: SoftmaxGrid, degree: int = 5
+) -> jnp.ndarray:
+    """Sub-pixel keypoint coordinates per cell via local soft-argmax.
+
+    The 64 point channels form an 8x8 sub-cell grid; the integer argmax
+    (what the reference uses, tracking_main.c:168-180) quantizes keypoint
+    positions to 1 px. Here the expected position over the 3x3 channel
+    neighborhood of the winner refines it to sub-pixel — measured to cut
+    per-step translation-direction error substantially on KITTI.
+
+    Returns (..., Hc, Wc, 2) absolute float pixel (x, y) per cell (garbage
+    where indices == 64; gate with the grid's validity).
+    """
+    nonneg = semi_q[..., :DUSTBIN] >= 0
+    expx = jnp.where(
+        nonneg, _taylor_exp_ref(semi_q[..., :DUSTBIN], scale, degree), 0.0
+    )
+    hc, wc = semi_q.shape[-3:-1]
+    e = expx.reshape(semi_q.shape[:-1] + (8, 8))  # (..., Hc, Wc, 8, 8)
+    wy = grid.indices // 8  # (..., Hc, Wc)
+    wx = grid.indices % 8
+    # 3x3 neighborhood around the winner, clamped at the cell edge.
+    offs = jnp.array([-1, 0, 1])
+    ny = jnp.clip(wy[..., None] + offs, 0, 7)  # (..., Hc, Wc, 3)
+    nx = jnp.clip(wx[..., None] + offs, 0, 7)
+    # Gather the 3x3 probabilities.
+    p = jnp.take_along_axis(
+        jnp.take_along_axis(e, ny[..., :, None].repeat(8, -1), axis=-2),
+        nx[..., None, :],
+        axis=-1,
+    )  # (..., Hc, Wc, 3, 3)
+    denom = jnp.maximum(jnp.sum(p, axis=(-2, -1)), 1e-20)
+    ey = jnp.sum(p * ny[..., :, None], axis=(-2, -1)) / denom
+    ex = jnp.sum(p * nx[..., None, :], axis=(-2, -1)) / denom
+    rows = jnp.arange(hc)[:, None].astype(jnp.float32)
+    cols = jnp.arange(wc)[None, :].astype(jnp.float32)
+    x = cols * 8 + ex
+    y = rows * 8 + ey
+    return jnp.stack([x, y], axis=-1)
 
 
 def cell_to_xy(cells: jnp.ndarray, in_cell_idx: jnp.ndarray, grid_w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
