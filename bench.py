@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Headline benchmark: tracked frames/s/chip on the KITTI tracking loop.
+
+Runs the full quantized tracking step (SuperPoint int8 inference + approx
+softmax/top-N + windowed int8 match + 256-hypothesis RANSAC + triangulation
++ scale + GN PnP refine) in steady state on the available accelerator and
+prints ONE JSON line.
+
+Baseline: the reference publishes no numbers (BASELINE.md); its golden
+pipeline is a PyTorch-CPU quantized SuperPoint + numpy post-processing.
+The comparable baseline measured here is the same SuperPoint workload as a
+torch-CPU float forward pass (the quantized torchscript model does not run
+on this torch build) plus nothing else — i.e. a *lower bound* on reference
+frame time. vs_baseline = our full-tracking fps / torch-CPU
+SuperPoint-forward-only fps.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def measure_tracker_fps(frames, rounds=5):
+    import jax
+
+    from maveric_slam_tpu.config import DEFAULT_CONFIG
+    from maveric_slam_tpu.frontend import tracker as trk
+    from maveric_slam_tpu.models import superpoint as sp
+
+    params = sp.load_params()
+    key = jax.random.PRNGKey(0)
+
+    # Warm up: compile init + step.
+    state = trk.init_state(params, frames[0], DEFAULT_CONFIG)
+    state, step = trk.track_step(params, state, frames[1], DEFAULT_CONFIG, key)
+    jax.block_until_ready(step.t)
+
+    n_steps = 0
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        for img in frames[1:]:
+            key, sub = jax.random.split(key)
+            state, step = trk.track_step(params, state, img, DEFAULT_CONFIG, sub)
+            n_steps += 1
+    jax.block_until_ready(step.t)
+    dt = time.perf_counter() - t0
+    return n_steps / dt
+
+
+def measure_torch_baseline_fps(frames, iters=10):
+    """torch-CPU SuperPoint forward on the same input (reference's engine)."""
+    import torch
+
+    from maveric_slam_tpu.models.superpoint import LAYERS, _DEFAULT_WEIGHTS
+
+    raw = np.load(_DEFAULT_WEIGHTS)
+    convs = {}
+    with torch.no_grad():
+        for name in LAYERS:
+            w = torch.from_numpy(
+                raw[f"{name}_w"].astype(np.float32) * raw[f"{name}_wscale"]
+            )
+            b = torch.from_numpy(raw[f"{name}_b"])
+            o, i, kh, kw = w.shape
+            conv = torch.nn.Conv2d(i, o, kh, padding=kh // 2)
+            conv.weight.copy_(w)
+            conv.bias.copy_(b)
+            convs[name] = conv
+
+    pool = torch.nn.MaxPool2d(2, 2)
+    relu = torch.nn.functional.relu
+
+    def forward(x):
+        x = relu(convs["conv1a"](x))
+        x = relu(convs["conv1b"](x))
+        x = pool(x)
+        x = relu(convs["conv2a"](x))
+        x = relu(convs["conv2b"](x))
+        x = pool(x)
+        x = relu(convs["conv3a"](x))
+        x = relu(convs["conv3b"](x))
+        x = pool(x)
+        x = relu(convs["conv4a"](x))
+        x = relu(convs["conv4b"](x))
+        semi = convs["convPb"](relu(convs["convPa"](x)))
+        desc = convs["convDb"](relu(convs["convDa"](x)))
+        return semi, desc
+
+    x = torch.from_numpy(frames[0][None, None])
+    with torch.no_grad():
+        forward(x)  # warm up
+        t0 = time.perf_counter()
+        for k in range(iters):
+            forward(torch.from_numpy(frames[k % len(frames)][None, None]))
+        dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def main():
+    base = "/root/reference/datasets/kitti/sequences/00/image_0"
+    from maveric_slam_tpu.data import kitti
+
+    frames = [
+        kitti.load_frame(os.path.join(base, f"{f:06d}.png"))
+        for f in range(160, 170)
+    ]
+
+    fps = measure_tracker_fps(frames)
+    try:
+        baseline_fps = measure_torch_baseline_fps(frames)
+    except Exception as e:  # noqa: BLE001 — baseline is best-effort
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        baseline_fps = float("nan")
+
+    print(
+        json.dumps(
+            {
+                "metric": "tracked_frames_per_s_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / baseline_fps, 3)
+                if baseline_fps == baseline_fps
+                else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

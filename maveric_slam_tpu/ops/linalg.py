@@ -20,8 +20,7 @@ def inv3x3(M: jnp.ndarray, damping: float = 0.0) -> jnp.ndarray:
 
     Optionally adds `damping` to the diagonal first (Levenberg-Marquardt).
     """
-    if damping:
-        M = M + damping * jnp.eye(3, dtype=M.dtype)
+    M = M + damping * jnp.eye(3, dtype=M.dtype)  # damping may be traced
     a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
     d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
     g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
