@@ -115,13 +115,15 @@ def reduce_schur(H_ll, b_l, H_pp, b_p, W, damping: float):
     return S, rhs, A_inv
 
 
-def solve_reduced(S, rhs, gauge_weight: float = 1e8):
-    """Solve the reduced pose system with a gauge prior on pose 0.
+def solve_reduced(S, rhs, gauge_weight: float = 1e8, num_anchored: int = 1):
+    """Solve the reduced pose system with gauge priors on the first
+    `num_anchored` poses (2 anchors additionally pin the monocular scale).
 
     (The Cholesky the reference skipped, src/local_bundle_adjustment.c:86-88.)
     """
     p = S.shape[0]
-    S = S.at[0, 0].add(gauge_weight * jnp.eye(6, dtype=S.dtype))
+    for a in range(num_anchored):
+        S = S.at[a, a].add(gauge_weight * jnp.eye(6, dtype=S.dtype))
     S_flat = jnp.swapaxes(S, 1, 2).reshape(p * 6, p * 6)
     rhs_flat = rhs.reshape(p * 6)
     L = jnp.linalg.cholesky(S_flat)
@@ -143,12 +145,13 @@ def apply_update(problem: BAProblem, dx_p, dx_l) -> BAProblem:
     return problem._replace(R=R_new, t=t_new, X=problem.X + dx_l)
 
 
-@partial(jax.jit, static_argnames=("iterations",))
+@partial(jax.jit, static_argnames=("iterations", "num_anchored"))
 def bundle_adjust(
     problem: BAProblem,
     iterations: int = 10,
     damping: float = 1e-4,
     huber_delta: float = 2.0,
+    num_anchored: int = 1,
 ) -> Tuple[BAProblem, BAStats]:
     """Damped Gauss-Newton with Schur elimination, fixed iteration count."""
 
@@ -160,7 +163,7 @@ def bundle_adjust(
             jnp.mean(jnp.trace(H_ll, axis1=-2, axis2=-1)) / 3.0, 1e-6
         )
         S, rhs, A_inv = reduce_schur(H_ll, b_l, H_pp, b_p, W, lam_l)
-        dx_p = solve_reduced(S, rhs)
+        dx_p = solve_reduced(S, rhs, num_anchored=num_anchored)
         dx_l = back_substitute(A_inv, b_l, W, dx_p)
         new_prob = apply_update(prob, dx_p, dx_l)
         # Reject steps that increase the cost (simple LM fallback).

@@ -44,6 +44,14 @@ class StepResult(NamedTuple):
     num_inliers: jnp.ndarray
     num_scale_pairs: jnp.ndarray
     scale: jnp.ndarray
+    # Per-feature match data (fixed capacity top_n) for track building:
+    cells_new: jnp.ndarray  # (N,) cell of each new-frame feature
+    xy_new: jnp.ndarray  # (N, 2) sub-pixel coords in the new frame
+    matched_prev_cell: jnp.ndarray  # (N,) matched prev-frame cell or -1
+    match_score: jnp.ndarray  # (N,) cosine^2
+    match_mask: jnp.ndarray  # (N,) bool — RANSAC inlier matches
+    desc_top: jnp.ndarray  # (N, 256) int8 descriptors of the new features
+    desc_scale: jnp.ndarray  # () descriptor scale
 
 
 def _masked_median(x: jnp.ndarray, mask: jnp.ndarray, default: jnp.ndarray) -> jnp.ndarray:
@@ -181,6 +189,13 @@ def track_step(
         num_inliers=res.num_inliers,
         num_scale_pairs=jnp.sum(pair_ok).astype(jnp.int32),
         scale=scale,
+        cells_new=top.cells,
+        xy_new=m.xy1,
+        matched_prev_cell=jnp.where(res.inliers, m.cell0, -1),
+        match_score=m.score,
+        match_mask=m.mask & res.inliers,
+        desc_top=desc1[top.cells],
+        desc_scale=feats.desc_scale,
     )
 
 

@@ -1,0 +1,151 @@
+"""Checkpoint/resume of the SLAM system state.
+
+The reference's only persistence is one .npy per pairwise transform
+(python/pairwise_pnp.py:694) with resume-by-skipping in the trajectory
+composer (compute_trajectory.py:63-87). Here the *entire* engine state —
+tracker device state, pose chain, track table, loop-closure database —
+round-trips through a checkpoint directory, so a crashed or preempted run
+resumes mid-sequence with identical downstream results.
+
+Format: one .npz for array state + one JSON for scalars/metadata. (Small
+state; orbax would be overkill and ties the format to its layout rules.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ..slam import SlamSystem
+
+
+def save(slam: "SlamSystem", path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    arrays = {}
+
+    if slam.state is not None:
+        for name, val in slam.state._asdict().items():
+            arrays[f"tracker_{name}"] = np.asarray(val)
+
+    arrays["poses"] = np.stack(slam.poses) if slam.poses else np.zeros((0, 4, 4))
+    if slam.rel_poses:
+        arrays["rel_R"] = np.stack([p[0] for p in slam.rel_poses])
+        arrays["rel_t"] = np.stack([p[1] for p in slam.rel_poses])
+
+    # Track table.
+    tt = slam.tracks
+    arrays["tracks_cell_to_track"] = tt.cell_to_track
+    tids, frames_flat, xy_flat, lens, scores = [], [], [], [], []
+    for tid, obs in tt.observations.items():
+        tids.append(tid)
+        lens.append(len(obs))
+        scores.append(tt.scores.get(tid, 0.0))
+        for o in obs:
+            frames_flat.append(o.frame)
+            xy_flat.append(o.xy)
+    arrays["tracks_ids"] = np.array(tids, np.int64)
+    arrays["tracks_lens"] = np.array(lens, np.int64)
+    arrays["tracks_scores"] = np.array(scores, np.float64)
+    arrays["tracks_frames"] = np.array(frames_flat, np.int64)
+    arrays["tracks_xy"] = (
+        np.array(xy_flat, np.float64) if xy_flat else np.zeros((0, 2))
+    )
+
+    if slam.enable_loop_closure:
+        for name, val in slam.db._asdict().items():
+            arrays[f"db_{name}"] = np.asarray(val)
+        if slam.kf_desc:
+            arrays["kf_desc"] = np.stack(slam.kf_desc)
+            arrays["kf_xy"] = np.stack(slam.kf_xy)
+            arrays["kf_mask"] = np.stack(slam.kf_mask)
+            arrays["kf_frame"] = np.array(slam.kf_frame, np.int64)
+
+    np.savez_compressed(os.path.join(path, "state.npz"), **arrays)
+    meta = {
+        "frame_idx": slam.frame_idx,
+        "next_track_id": tt.next_id,
+        "stats": slam.stats,
+        "loop_events": [
+            {
+                "frame": e.frame,
+                "matched_frame": e.matched_frame,
+                "score": e.score,
+                "num_inliers": e.num_inliers,
+            }
+            for e in slam.loop_events
+        ],
+        "enable_loop_closure": slam.enable_loop_closure,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def restore(slam: "SlamSystem", path: str) -> None:
+    """Load a checkpoint into an initialized (fresh) SlamSystem."""
+    import jax.numpy as jnp
+
+    from ..frontend.tracker import TrackerState
+    from ..loopclosure.lcd import LoopDatabase
+    from ..slam import LoopClosureEvent
+    from ..tracks import Observation
+
+    with np.load(os.path.join(path, "state.npz")) as z:
+        arrays = dict(z)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+
+    slam.frame_idx = meta["frame_idx"]
+    slam.stats = meta["stats"]
+    slam.loop_events = [LoopClosureEvent(**e) for e in meta["loop_events"]]
+
+    if "tracker_desc" in arrays:
+        slam.state = TrackerState(
+            **{
+                name: jnp.asarray(arrays[f"tracker_{name}"])
+                for name in TrackerState._fields
+            }
+        )
+    slam.poses = [p for p in arrays["poses"]]
+    slam.rel_poses = (
+        [(r, t) for r, t in zip(arrays["rel_R"], arrays["rel_t"])]
+        if "rel_R" in arrays
+        else []
+    )
+
+    tt = slam.tracks
+    tt.cell_to_track = arrays["tracks_cell_to_track"]
+    tt.next_id = meta["next_track_id"]
+    tt.observations = {}
+    tt.scores = {}
+    pos = 0
+    for tid, n, sc in zip(
+        arrays["tracks_ids"], arrays["tracks_lens"], arrays["tracks_scores"]
+    ):
+        obs = []
+        for k in range(n):
+            obs.append(
+                Observation(
+                    int(arrays["tracks_frames"][pos + k]),
+                    tuple(arrays["tracks_xy"][pos + k]),
+                )
+            )
+        pos += n
+        tt.observations[int(tid)] = obs
+        tt.scores[int(tid)] = float(sc)
+
+    if meta["enable_loop_closure"] and "db_multihot" in arrays:
+        slam.db = LoopDatabase(
+            **{
+                name: jnp.asarray(arrays[f"db_{name}"])
+                for name in LoopDatabase._fields
+            }
+        )
+        if "kf_desc" in arrays:
+            slam.kf_desc = [d for d in arrays["kf_desc"]]
+            slam.kf_xy = [d for d in arrays["kf_xy"]]
+            slam.kf_mask = [d for d in arrays["kf_mask"]]
+            slam.kf_frame = [int(f) for f in arrays["kf_frame"]]

@@ -1,0 +1,72 @@
+"""Full SLAM system: tracking + window BA + loop closure, end to end."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from maveric_slam_tpu.config import DEFAULT_CONFIG
+from maveric_slam_tpu.data import kitti
+from maveric_slam_tpu.models import superpoint as sp
+from maveric_slam_tpu.slam import SlamSystem
+from maveric_slam_tpu.utils import evaluation
+
+BASE = "/root/reference/datasets/kitti/sequences/00/image_0"
+GT = "/root/reference/outputs/00.txt"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(GT), reason="reference artifacts not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return sp.load_params()
+
+
+@pytest.fixture(scope="module")
+def frames():
+    return {
+        f: kitti.load_frame(f"{BASE}/{f:06d}.png") for f in range(160, 170)
+    }
+
+
+class TestSlamWithBA:
+    def test_tracks_sequence(self, params, frames):
+        slam = SlamSystem(params, DEFAULT_CONFIG, enable_loop_closure=False)
+        for f in range(160, 170):
+            slam.process(frames[f])
+        gt = kitti.read_poses(GT)[160:170]
+        est = slam.trajectory()
+        m_ate = evaluation.ate(est, gt)
+        m_rpe = evaluation.rpe(est, gt)
+        assert m_ate["ate_rmse"] < 0.3, m_ate
+        assert m_rpe["rpe_rot_deg_mean"] < 0.8, m_rpe
+        assert m_rpe["rpe_tdir_deg_mean"] < 4.0, m_rpe
+        # BA actually ran (window problems had landmarks).
+        tracks = slam.tracks.get_tracks(min_length=3)
+        assert len(tracks) > 20, len(tracks)
+
+
+class TestLoopClosure:
+    def test_detects_revisit(self, params, frames):
+        # Drive through 160..169, then revisit 160..164: the revisit frames
+        # produce near-identical BoW signatures -> loop closure fires.
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG,
+            loop=dataclasses.replace(
+                DEFAULT_CONFIG.loop, min_frame_gap=6, min_score=0.2
+            ),
+        )
+        slam = SlamSystem(params, cfg, ba_every=0, enable_loop_closure=True)
+        seq = list(range(160, 170)) + list(range(160, 165))
+        for f in seq:
+            slam.process(frames[f])
+        assert slam.loop_events, "no loop closures detected"
+        ev = slam.loop_events[0]
+        # The matched frame should be the same physical frame (offset 10
+        # earlier in the driving order).
+        assert ev.frame - ev.matched_frame >= 6
+        assert abs((ev.frame - ev.matched_frame) - 10) <= 2, ev
+        assert ev.num_inliers >= 30
