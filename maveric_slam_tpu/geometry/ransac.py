@@ -68,24 +68,57 @@ def ransac_essential(
     s1 = p1[idx]  # (K, 8, 2)
     s2 = p2[idx]
 
-    # --- estimate + score all hypotheses ----------------------------------
+    # --- estimate + score all hypotheses (MSAC truncated loss) -------------
+    def msac_score(d2):
+        # Lower is better: truncated squared Sampson distance.
+        return jnp.sum(jnp.where(mask, jnp.minimum(d2, thresh2), 0.0), axis=-1)
+
     E = epipolar.estimate_essential(s1, s2)  # (K, 3, 3)
     d2 = epipolar.sampson_distance(E, p1[None], p2[None])  # (K, M)
-    is_in = (d2 < thresh2) & mask[None, :]
-    scores = jnp.sum(is_in, axis=-1)  # (K,)
-    best = jnp.argmax(scores)
+    best = jnp.argmin(msac_score(d2))
     E_best = E[best]
-    inliers = is_in[best]
+    score_best = msac_score(d2[best])
 
-    # --- annealed weighted refit on the consensus set ---------------------
+    # --- LO step: non-minimal hypotheses sampled from the consensus set ----
+    # Minimal 8-point solves amplify noise; resampling 16-point subsets of
+    # the best hypothesis's inliers averages it out while staying robust to
+    # the odd outlier inside the gate (unlike an LS fit on the whole set).
+    lo_k = max(num_hypotheses // 4, 16)
+    lo_size = 2 * sample_size
+    for lo_round in range(2):
+        d2b = epipolar.sampson_distance(E_best, p1, p2)
+        in_gate = (d2b < 4.0 * thresh2) & mask
+        lo_logits = jnp.where(in_gate, 0.0, -jnp.inf)
+        # Guard against a degenerate gate (all -inf): fall back to `mask`.
+        lo_logits = jnp.where(jnp.any(in_gate), lo_logits, logits)
+        lo_keys = jax.random.split(jax.random.fold_in(key, 1 + lo_round), lo_k)
+        lo_idx = jax.vmap(
+            lambda k: jax.random.categorical(k, lo_logits, shape=(lo_size,))
+        )(lo_keys)
+        E_lo = epipolar.estimate_essential(p1[lo_idx], p2[lo_idx])  # (K2,3,3)
+        d2_lo = epipolar.sampson_distance(E_lo, p1[None], p2[None])
+        lo_scores = msac_score(d2_lo)
+        lo_best = jnp.argmin(lo_scores)
+        improve = lo_scores[lo_best] < score_best
+        E_best = jnp.where(improve, E_lo[lo_best], E_best)
+        score_best = jnp.where(improve, lo_scores[lo_best], score_best)
+
+    # --- annealed, score-guarded, robustly-weighted refits -----------------
+    # LS on the consensus set can be poisoned by a few high-leverage
+    # outliers inside the gate; each refit is therefore accepted only if it
+    # improves the MSAC score (LO-RANSAC style), with Cauchy downweighting
+    # inside the gate.
     for mult in refit_schedule:
         d2 = epipolar.sampson_distance(E_best, p1, p2)
-        inliers = (d2 < thresh2 * mult) & mask
-        w = inliers.astype(p1.dtype)
-        # Guard: keep the current E if the consensus set is degenerate.
-        enough = jnp.sum(w) >= sample_size
-        E_refit = epipolar.estimate_essential(p1, p2, weights=w)
-        E_best = jnp.where(enough, E_refit, E_best)
+        gate = (d2 < thresh2 * mult) & mask
+        w = gate * 1.0 / (1.0 + d2 / (thresh2 * mult))
+        enough = jnp.sum(gate) >= sample_size
+        E_refit = epipolar.estimate_essential(p1, p2, weights=w.astype(p1.dtype))
+        d2_new = epipolar.sampson_distance(E_refit, p1, p2)
+        score_new = msac_score(d2_new)
+        accept = enough & (score_new < score_best)
+        E_best = jnp.where(accept, E_refit, E_best)
+        score_best = jnp.where(accept, score_new, score_best)
     d2 = epipolar.sampson_distance(E_best, p1, p2)
     inliers = (d2 < thresh2) & mask
 

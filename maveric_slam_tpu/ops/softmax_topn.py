@@ -163,22 +163,18 @@ def subpixel_xy(
         nonneg, _taylor_exp_ref(semi_q[..., :DUSTBIN], scale, degree), 0.0
     )
     hc, wc = semi_q.shape[-3:-1]
-    e = expx.reshape(semi_q.shape[:-1] + (8, 8))  # (..., Hc, Wc, 8, 8)
-    wy = grid.indices // 8  # (..., Hc, Wc)
-    wx = grid.indices % 8
-    # 3x3 neighborhood around the winner, clamped at the cell edge.
-    offs = jnp.array([-1, 0, 1])
-    ny = jnp.clip(wy[..., None] + offs, 0, 7)  # (..., Hc, Wc, 3)
-    nx = jnp.clip(wx[..., None] + offs, 0, 7)
-    # Gather the 3x3 probabilities.
-    p = jnp.take_along_axis(
-        jnp.take_along_axis(e, ny[..., :, None].repeat(8, -1), axis=-2),
-        nx[..., None, :],
-        axis=-1,
-    )  # (..., Hc, Wc, 3, 3)
-    denom = jnp.maximum(jnp.sum(p, axis=(-2, -1)), 1e-20)
-    ey = jnp.sum(p * ny[..., :, None], axis=(-2, -1)) / denom
-    ex = jnp.sum(p * nx[..., None, :], axis=(-2, -1)) / denom
+    # 3x3 neighborhood of the winner as a channel mask (no clamped gather —
+    # edge winners must not double-count their own channel).
+    ch = jnp.arange(DUSTBIN)
+    ix = (ch % 8).astype(jnp.int32)
+    iy = (ch // 8).astype(jnp.int32)
+    wy = grid.indices[..., None] // 8  # (..., Hc, Wc, 1)
+    wx = grid.indices[..., None] % 8
+    near = (jnp.abs(ix - wx) <= 1) & (jnp.abs(iy - wy) <= 1)
+    p3 = jnp.where(near, expx, 0.0)
+    denom = jnp.maximum(jnp.sum(p3, axis=-1), 1e-20)
+    ex = jnp.sum(p3 * ix, axis=-1) / denom
+    ey = jnp.sum(p3 * iy, axis=-1) / denom
     rows = jnp.arange(hc)[:, None].astype(jnp.float32)
     cols = jnp.arange(wc)[None, :].astype(jnp.float32)
     x = cols * 8 + ex

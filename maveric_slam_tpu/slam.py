@@ -84,14 +84,11 @@ class SlamSystem:
         img = jnp.asarray(image)
         self.frame_idx += 1
         if self.state is None:
-            self.state = trk.init_state(self.params, img, self.config)
+            self.state = trk.init_state(self.params, img, self.config, 0)
             self.poses.append(np.eye(4))
             return
 
-        self.key, sub = jax.random.split(self.key)
-        self.state, step = trk.track_step(
-            self.params, self.state, img, self.config, sub
-        )
+        self.state, step = trk.track_step(self.params, self.state, img, self.config)
 
         R = np.asarray(step.R)
         t = np.asarray(step.t)

@@ -1,0 +1,73 @@
+"""Pallas kernels vs their jnp reference implementations (interpret mode on
+CPU; the same kernels compile natively on TPU)."""
+
+import numpy as np
+import pytest
+
+from maveric_slam_tpu.data import refdata
+from maveric_slam_tpu.ops import matching, pallas_kernels, softmax_topn
+
+
+@pytest.fixture(scope="module")
+def qdata():
+    return refdata.quantized_image0()
+
+
+class TestFusedDetector:
+    def test_matches_jnp_reference(self, qdata):
+        semi = qdata["semi"]  # (24, 80, 65)
+        scale = np.float32(qdata["semi_scale"])
+        flat = semi.reshape(-1, 65)
+
+        probs_p, idx_p, xy_p = pallas_kernels.fused_detector_postproc(
+            flat, scale, interpret=True
+        )
+        grid = softmax_topn.approx_softmax_grid(semi, scale)
+        xy_ref = softmax_topn.subpixel_xy(semi, scale, grid)
+
+        np.testing.assert_array_equal(
+            np.asarray(idx_p), np.asarray(grid.indices).reshape(-1)
+        )
+        np.testing.assert_allclose(
+            np.asarray(probs_p), np.asarray(grid.probs).reshape(-1), rtol=1e-6
+        )
+        valid = np.asarray(grid.indices).reshape(-1) != 64
+        np.testing.assert_allclose(
+            np.asarray(xy_p)[valid],
+            np.asarray(xy_ref).reshape(-1, 2)[valid],
+            atol=1e-4,
+        )
+
+
+class TestFusedMatch:
+    def test_matches_jnp_reference(self, qdata):
+        semi = qdata["semi"]
+        desc = qdata["desc"].reshape(-1, 256)
+        scale = np.float32(qdata["semi_scale"])
+        grid = softmax_topn.approx_softmax_grid(semi, scale)
+        top = softmax_topn.top_n_select(grid, n=100, mode="prob")
+
+        probs0 = np.asarray(grid.probs).reshape(-1)
+        indices0 = np.asarray(grid.indices).reshape(-1)
+        cells1 = np.asarray(top.cells)
+
+        score_p, best_p = pallas_kernels.fused_windowed_match(
+            desc[cells1], desc, probs0, indices0, cells1,
+            grid_h=24, grid_w=80, shift=(0, 0), radius=4, min_prob=0.1,
+            interpret=True,
+        )
+        ref = matching.windowed_match(
+            desc, probs0, indices0, desc,
+            top.cells, top.indices, top.mask,
+            grid_h=24, grid_w=80, shift=(0, 0), radius=4,
+            match_threshold=0.8, min_prob=0.1,
+        )
+        # Compare against the matcher's internal best (cell0 is -1 where
+        # unmatched; the kernel returns the raw argmax + score).
+        np.testing.assert_allclose(
+            np.asarray(score_p), np.asarray(ref.score), rtol=1e-5
+        )
+        matched = np.asarray(ref.mask)
+        np.testing.assert_array_equal(
+            np.asarray(best_p)[matched], np.asarray(ref.cell0)[matched]
+        )
