@@ -62,6 +62,68 @@ def load_frame(path: str, height: int = 192, width: int = 640) -> np.ndarray:
     return resize_bilinear(load_grayscale(path), height, width)
 
 
+class VideoStreamer:
+    """Frame source: webcam, video file, or image directory.
+
+    Full capability of the reference VideoStreamer
+    (superpoint_inference.py:468-555): basedir == "camera" opens a webcam,
+    a video-file path streams frames via cv2.VideoCapture, anything else is
+    treated as an image directory. Yields float32 [0,1] frames at the
+    working resolution.
+    """
+
+    def __init__(
+        self,
+        basedir: str,
+        height: int = 192,
+        width: int = 640,
+        camid: int = 0,
+        skip: int = 1,
+        img_glob: str = "*.png",
+    ):
+        self.height, self.width = height, width
+        self.skip = skip
+        self._seq = None
+        self._cap = None
+        if basedir in ("camera", "camera/"):
+            if cv2 is None:  # pragma: no cover
+                raise IOError("camera input requires cv2")
+            self._cap = cv2.VideoCapture(camid)
+            if not self._cap.isOpened():
+                raise IOError(f"cannot open camera {camid}")
+        elif os.path.isfile(basedir):
+            if cv2 is None:  # pragma: no cover
+                raise IOError("video input requires cv2")
+            self._cap = cv2.VideoCapture(basedir)
+            if not self._cap.isOpened():
+                raise IOError(f"cannot open video {basedir}")
+        else:
+            self._seq = ImageSequence(basedir, height, width, img_glob, skip)
+            self._idx = 0
+
+    def next_frame(self):
+        """Returns (frame, True) or (None, False) at end of stream."""
+        if self._seq is not None:
+            if self._idx >= len(self._seq):
+                return None, False
+            img = self._seq[self._idx]
+            self._idx += 1
+            return img, True
+        for _ in range(self.skip):
+            ret, raw = self._cap.read()
+            if not ret:
+                return None, False
+        gray = cv2.cvtColor(raw, cv2.COLOR_BGR2GRAY).astype(np.float32) / 255.0
+        return resize_bilinear(gray, self.height, self.width), True
+
+    def __iter__(self):
+        while True:
+            img, ok = self.next_frame()
+            if not ok:
+                return
+            yield img
+
+
 class ImageSequence:
     """Iterates frames of a KITTI sequence directory (or any image glob).
 

@@ -34,7 +34,7 @@ def shard_problem(problem: ba.BAProblem, mesh: Mesh) -> ba.BAProblem:
     L must be divisible by the mesh size (pad with masked landmarks
     beforehand if needed — config.ba.max_landmarks is sized for this).
     """
-    ax = mesh.axis_names[0]
+    ax = tuple(mesh.axis_names)
     spec_l = NamedSharding(mesh, P(ax))
     rep = NamedSharding(mesh, P())
     return ba.BAProblem(
@@ -59,8 +59,12 @@ def sharded_bundle_adjust(
     Communication per iteration: one psum of (6P x 6P + 6P + scalars) over
     ICI; the Cholesky of the reduced system is computed redundantly on every
     device (cheaper than a gather/scatter at these sizes).
+
+    Works over any mesh shape: landmarks shard over the product of all mesh
+    axes, so a multi-host ('host', 'chip') mesh reduces over DCN+ICI with
+    the same code (psum over the axis tuple).
     """
-    ax = mesh.axis_names[0]
+    ax = tuple(mesh.axis_names)
 
     @partial(
         jax.shard_map,

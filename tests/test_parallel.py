@@ -78,3 +78,28 @@ class TestShardedBA:
             )
             assert np.isfinite(np.asarray(solved.t)).all()
             assert np.asarray(costs)[-1] < np.asarray(costs)[0]
+
+
+class TestMultiHostStyleMesh:
+    def test_2d_host_chip_mesh(self):
+        """The multi-host sharding pattern: landmarks over ('host', 'chip'),
+        reductions over both axes (DCN + ICI on real pods)."""
+        import numpy as np
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("host", "chip"))
+        rng = np.random.default_rng(20)
+        problem, _ = make_ba_problem(rng, num_landmarks=64)
+        solved_1, stats = ba.bundle_adjust(problem, iterations=4)
+        sharded_in = sharded_ba.shard_problem(problem, mesh)
+        solved_8, costs = sharded_ba.sharded_bundle_adjust(
+            sharded_in, mesh, iterations=4
+        )
+        np.testing.assert_allclose(
+            np.asarray(solved_8.t), np.asarray(solved_1.t), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(costs), np.asarray(stats.cost[:-1]), rtol=1e-3
+        )
