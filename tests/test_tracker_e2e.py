@@ -65,3 +65,29 @@ def test_scale_chain_is_sane(tracked):
     steps = np.array([np.linalg.norm(t) for _, t in tracker.rel_poses])
     med = np.median(steps)
     assert (steps > 0.4 * med).all() and (steps < 2.5 * med).all(), steps
+
+
+def test_batched_streams_match_single():
+    """Multi-stream batched tracking: stream 0 (same PRNG seed) must equal
+    the single-stream tracker exactly."""
+    import jax.numpy as jnp
+
+    from maveric_slam_tpu.frontend import tracker as trk
+
+    params = sp.load_params()
+    f0 = kitti.load_frame(f"{BASE}/000160.png")
+    f1 = kitti.load_frame(f"{BASE}/000161.png")
+    states = trk.init_states_batched(
+        params, jnp.asarray(np.stack([f0, f0])), DEFAULT_CONFIG
+    )
+    states, out = trk.track_step_batched(
+        params, states, jnp.asarray(np.stack([f1, f1])), DEFAULT_CONFIG
+    )
+    s1 = trk.init_state(params, jnp.asarray(f0), DEFAULT_CONFIG, 0)
+    s1, out1 = trk.track_step(params, s1, jnp.asarray(f1), DEFAULT_CONFIG)
+    np.testing.assert_allclose(
+        np.asarray(out.t)[0], np.asarray(out1.t), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.R)[0], np.asarray(out1.R), atol=1e-5
+    )
