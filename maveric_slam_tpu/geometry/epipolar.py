@@ -50,7 +50,11 @@ def eight_point_design(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
 
 
 def estimate_essential(
-    p1: jnp.ndarray, p2: jnp.ndarray, weights: jnp.ndarray | None = None
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    project: bool = True,
+    nullspace_iters: int = 10,
 ) -> jnp.ndarray:
     """Least-squares essential matrix from M >= 8 correspondences.
 
@@ -58,15 +62,27 @@ def estimate_essential(
     smallest right singular vector of A) and projects to the essential
     manifold (rank 2, equal singular values) with svd3.
 
-    p1, p2: (..., M, 2); weights: optional (..., M) for masked/weighted fits.
+    p1, p2: (..., M, 2); weights: optional (..., M) for masked/weighted fits
+    (weights broadcast against the design matrix, so a (R, M) stack against
+    (M, 2) points yields R fits in one batched solve).
     Returns E: (..., 3, 3).
+
+    project=False skips the essential-manifold projection: svd3 is a ~0.18 ms
+    sequential scalar chain on TPU regardless of batch size. Only safe for
+    well-seeded non-minimal fits: on small-baseline data the design matrix
+    acquires a near-null antisymmetric subspace (p2 ~ p1 makes x1^T E x1 = 0
+    for any skew E), and an unprojected minimal-sample nullspace mixed into
+    that subspace scores a fake-perfect Sampson error. Minimal hypotheses
+    must be scored projected.
     """
     A = eight_point_design(p1, p2)
     if weights is not None:
         A = A * weights[..., None]
     AtA = jnp.einsum("...mi,...mj->...ij", A, A)
-    e = smallest_eigvec_inverse_iteration(AtA)
+    e = smallest_eigvec_inverse_iteration(AtA, iterations=nullspace_iters)
     E = e.reshape(e.shape[:-1] + (3, 3))
+    if not project:
+        return E
     # Project: singular values -> (1, 1, 0).
     U, s, V = svd3(E)
     d = jnp.zeros_like(s).at[..., 0].set(1.0).at[..., 1].set(1.0)
@@ -177,20 +193,34 @@ def decompose_essential(E: jnp.ndarray):
     return R1, R2, t
 
 
-def recover_pose(
-    E: jnp.ndarray,
+def project_and_decompose(E: jnp.ndarray):
+    """One svd3 shared between manifold projection and pose decomposition.
+
+    Returns (E_proj, R1, R2, t): the rank-2 equal-singular-value projection
+    of E plus the two rotation candidates and unit translation. Used by
+    RANSAC so the final winner pays a single svd3 chain instead of one for
+    the projection and another inside decompose_essential.
+    """
+    U, s, V = svd3(E)
+    Vt = jnp.swapaxes(V, -1, -2)
+    d = jnp.zeros_like(s).at[..., 0].set(1.0).at[..., 1].set(1.0)
+    E_proj = U @ (d[..., :, None] * Vt)
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[..., :, 2]
+    return E_proj, R1, R2, t
+
+
+def choose_pose_by_cheirality(
+    R1: jnp.ndarray,
+    R2: jnp.ndarray,
+    t: jnp.ndarray,
     p1: jnp.ndarray,
     p2: jnp.ndarray,
     weights: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Choose among the 4 (R, +-t) candidates by cheirality voting.
-
-    For each candidate, triangulates all correspondences and counts points
-    with positive depth in both cameras (cv2.recoverPose semantics).
-
-    Returns (R, t_unit, num_good). Batched over leading dims of E.
-    """
-    R1, R2, t = decompose_essential(E)
+    """Pick among the 4 (R, +-t) candidates by positive-depth voting."""
     cands_R = jnp.stack([R1, R1, R2, R2], axis=0)  # (4, ..., 3, 3)
     cands_t = jnp.stack([t, -t, t, -t], axis=0)
 
@@ -213,6 +243,23 @@ def recover_pose(
     )[0]
     n_good = jnp.take_along_axis(counts, best[None, ...], axis=0)[0]
     return R, t_best, n_good
+
+
+def recover_pose(
+    E: jnp.ndarray,
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Choose among the 4 (R, +-t) candidates by cheirality voting.
+
+    For each candidate, triangulates all correspondences and counts points
+    with positive depth in both cameras (cv2.recoverPose semantics).
+
+    Returns (R, t_unit, num_good). Batched over leading dims of E.
+    """
+    R1, R2, t = decompose_essential(E)
+    return choose_pose_by_cheirality(R1, R2, t, p1, p2, weights)
 
 
 def essential_from_pose(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:

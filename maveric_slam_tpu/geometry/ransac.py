@@ -30,7 +30,13 @@ class RansacResult(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("num_hypotheses", "sample_size", "refit_schedule"),
+    static_argnames=(
+        "num_hypotheses",
+        "sample_size",
+        "refit_schedule",
+        "lo_rounds",
+        "refit_rounds",
+    ),
 )
 def ransac_essential(
     key: jax.Array,
@@ -40,7 +46,9 @@ def ransac_essential(
     inlier_thresh: float,  # Sampson threshold (normalized coords, squared^0.5)
     num_hypotheses: int = 256,
     sample_size: int = 8,
-    refit_schedule: tuple = (16.0, 4.0, 1.0, 1.0),
+    refit_schedule: tuple = (16.0, 4.0, 1.0),
+    lo_rounds: int = 1,
+    refit_rounds: int = 2,
 ) -> RansacResult:
     """Batched RANSAC + annealed consensus refit + cheirality pose recovery.
 
@@ -49,6 +57,17 @@ def ransac_essential(
     minimal-sample) model, and refitting at 1x threshold can lock into that
     bias; starting wide and annealing recovers the full inlier set (measured
     on synthetic KITTI-like data: 66 -> 106/106 true inliers).
+
+    Latency structure (the whole routine is ~5 dependent stages of tiny ops,
+    so wall time is chain depth, not FLOPs): all hypotheses in one batched
+    8-point pass; one LO pass of non-minimal resamples; then `refit_rounds`
+    passes that each fit the WHOLE threshold schedule as one batched
+    weighted solve and keep the best score-improving candidate (replacing
+    the reference-style one-threshold-per-pass anneal at a fraction of the
+    depth). Sampled (minimal-ish) hypotheses are scored after manifold
+    projection — mandatory, see estimate_essential — while the well-seeded
+    full-set refits skip it; the winner's final projection shares one svd3
+    with pose decomposition.
     """
     m = p1.shape[0]
     thresh2 = inlier_thresh**2
@@ -85,7 +104,7 @@ def ransac_essential(
     # the odd outlier inside the gate (unlike an LS fit on the whole set).
     lo_k = max(num_hypotheses // 4, 16)
     lo_size = 2 * sample_size
-    for lo_round in range(2):
+    for lo_round in range(lo_rounds):
         d2b = epipolar.sampson_distance(E_best, p1, p2)
         in_gate = (d2b < 4.0 * thresh2) & mask
         lo_logits = jnp.where(in_gate, 0.0, -jnp.inf)
@@ -103,29 +122,38 @@ def ransac_essential(
         E_best = jnp.where(improve, E_lo[lo_best], E_best)
         score_best = jnp.where(improve, lo_scores[lo_best], score_best)
 
-    # --- annealed, score-guarded, robustly-weighted refits -----------------
+    # --- score-guarded, robustly-weighted refit bank ------------------------
     # LS on the consensus set can be poisoned by a few high-leverage
-    # outliers inside the gate; each refit is therefore accepted only if it
-    # improves the MSAC score (LO-RANSAC style), with Cauchy downweighting
-    # inside the gate.
-    for mult in refit_schedule:
-        d2 = epipolar.sampson_distance(E_best, p1, p2)
-        gate = (d2 < thresh2 * mult) & mask
-        w = gate * 1.0 / (1.0 + d2 / (thresh2 * mult))
-        enough = jnp.sum(gate) >= sample_size
-        E_refit = epipolar.estimate_essential(p1, p2, weights=w.astype(p1.dtype))
-        d2_new = epipolar.sampson_distance(E_refit, p1, p2)
-        score_new = msac_score(d2_new)
-        accept = enough & (score_new < score_best)
-        E_best = jnp.where(accept, E_refit, E_best)
-        score_best = jnp.where(accept, score_new, score_best)
-    d2 = epipolar.sampson_distance(E_best, p1, p2)
-    inliers = (d2 < thresh2) & mask
+    # outliers inside the gate, and a single tight gate can lock into the
+    # minimal-sample model's bias. Fit every gate width of the schedule in
+    # ONE batched weighted solve (weights broadcast to (R, M)), with Cauchy
+    # downweighting inside the gate, and accept the best scoring candidate
+    # only if it improves the MSAC score.
+    mults = jnp.asarray(refit_schedule, p1.dtype)[:, None]  # (R, 1)
+    for _ in range(refit_rounds):
+        d2 = epipolar.sampson_distance(E_best, p1, p2)  # (M,)
+        gate = (d2[None] < thresh2 * mults) & mask  # (R, M)
+        w = gate * 1.0 / (1.0 + d2[None] / (thresh2 * mults))
+        enough = jnp.sum(gate, axis=-1) >= sample_size  # (R,)
+        E_refit = epipolar.estimate_essential(
+            p1, p2, weights=w.astype(p1.dtype), project=False
+        )  # (R, 3, 3)
+        d2_new = epipolar.sampson_distance(E_refit, p1[None], p2[None])
+        score_new = jnp.where(enough, msac_score(d2_new), jnp.inf)  # (R,)
+        rbest = jnp.argmin(score_new)
+        accept = score_new[rbest] < score_best
+        E_best = jnp.where(accept, E_refit[rbest], E_best)
+        score_best = jnp.where(accept, score_new[rbest], score_best)
 
-    # --- pose ---------------------------------------------------------------
-    R, t, n_good = epipolar.recover_pose(E_best, p1, p2, weights=inliers)
+    # --- project winner + pose (one shared svd3) ----------------------------
+    E_proj, R1, R2, t_unit = epipolar.project_and_decompose(E_best)
+    d2 = epipolar.sampson_distance(E_proj, p1, p2)
+    inliers = (d2 < thresh2) & mask
+    R, t, n_good = epipolar.choose_pose_by_cheirality(
+        R1, R2, t_unit, p1, p2, weights=inliers
+    )
     return RansacResult(
-        E=E_best,
+        E=E_proj,
         R=R,
         t=t,
         inliers=inliers,
