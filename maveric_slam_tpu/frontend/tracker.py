@@ -295,6 +295,7 @@ class PipelinedTracker:
         self.state: TrackerState | None = None
         self._buf: List[jnp.ndarray] = []
         self.rel_poses: List[Tuple[np.ndarray, np.ndarray]] = []
+        self.stats: List[dict] = []
 
     def process(self, image: np.ndarray) -> None:
         img = jnp.asarray(image)
@@ -308,13 +309,40 @@ class PipelinedTracker:
     def flush(self) -> None:
         if not self._buf or self.state is None:
             return
-        imgs = jnp.stack(self._buf)
-        self._buf = []
-        self.state, res = track_chunk(self.params, self.state, imgs, self.config)
-        R = np.asarray(res.R)
-        t = np.asarray(res.t)
+        if len(self._buf) == self.chunk:
+            imgs = jnp.stack(self._buf)
+            self._buf = []
+            self.state, res = track_chunk(self.params, self.state, imgs, self.config)
+            self._record(res, batched=True)
+        else:
+            # Partial tail (only trajectory()/manual flushes produce one):
+            # per-frame track_step instead of a track_chunk retrace — a
+            # length-K chunk would compile a whole new executable per
+            # distinct K for a few leftover frames.
+            buf, self._buf = self._buf, []
+            for img in buf:
+                self.state, res = track_step(
+                    self.params, self.state, img, self.config
+                )
+                self._record(res, batched=False)
+
+    def _record(self, res: StepResult, batched: bool) -> None:
+        R = np.asarray(res.R).reshape(-1, 3, 3)
+        t = np.asarray(res.t).reshape(-1, 3)
+        matches = np.asarray(res.num_matches).reshape(-1)
+        inliers = np.asarray(res.num_inliers).reshape(-1)
+        pairs = np.asarray(res.num_scale_pairs).reshape(-1)
+        scale = np.asarray(res.scale).reshape(-1)
         for k in range(R.shape[0]):
             self.rel_poses.append((R[k], t[k]))
+            self.stats.append(
+                {
+                    "matches": int(matches[k]),
+                    "inliers": int(inliers[k]),
+                    "scale_pairs": int(pairs[k]),
+                    "scale": float(scale[k]),
+                }
+            )
 
     def trajectory(self) -> np.ndarray:
         from ..utils.trajectory import compose_trajectory

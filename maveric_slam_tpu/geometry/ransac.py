@@ -72,17 +72,20 @@ def ransac_essential(
     m = p1.shape[0]
     thresh2 = inlier_thresh**2
 
-    # --- sample hypotheses (with replacement among valid points) ----------
-    # Bias sampling toward valid entries: draw uniform, then map invalid draws
-    # onto valid indices by rejection-free re-indexing (gumbel-top-k over the
-    # mask keeps shapes static).
+    # --- sample hypotheses (duplicate-free among valid points) ------------
+    # Gumbel-top-k per hypothesis: k distinct uniform draws from the valid
+    # set in one fixed-shape op (categorical sampling with replacement can
+    # hand the 8-point solver <8 distinct rows — a silently wasted, rank-
+    # deficient hypothesis). Invalid points stay at -inf and are picked only
+    # when fewer than sample_size valid points exist at all.
     logits = jnp.where(mask, 0.0, -jnp.inf)
     keys = jax.random.split(key, num_hypotheses)
 
     def draw(k):
-        return jax.random.categorical(k, logits, shape=(sample_size,))
+        g = logits + jax.random.gumbel(k, logits.shape)
+        return jax.lax.top_k(g, sample_size)[1]
 
-    idx = jax.vmap(draw)(keys)  # (K, 8)
+    idx = jax.vmap(draw)(keys)  # (K, 8) distinct per row
 
     s1 = p1[idx]  # (K, 8, 2)
     s2 = p2[idx]
@@ -112,7 +115,9 @@ def ransac_essential(
         lo_logits = jnp.where(jnp.any(in_gate), lo_logits, logits)
         lo_keys = jax.random.split(jax.random.fold_in(key, 1 + lo_round), lo_k)
         lo_idx = jax.vmap(
-            lambda k: jax.random.categorical(k, lo_logits, shape=(lo_size,))
+            lambda k: jax.lax.top_k(
+                lo_logits + jax.random.gumbel(k, lo_logits.shape), lo_size
+            )[1]
         )(lo_keys)
         E_lo = epipolar.estimate_essential(p1[lo_idx], p2[lo_idx])  # (K2,3,3)
         d2_lo = epipolar.sampson_distance(E_lo, p1[None], p2[None])

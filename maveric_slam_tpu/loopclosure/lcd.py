@@ -18,10 +18,16 @@ import jax.numpy as jnp
 
 
 class LoopDatabase(NamedTuple):
-    """Fixed-capacity BoW database (device-resident)."""
+    """Fixed-capacity BoW database (device-resident).
+
+    The ring stores the *frame number* of each slot so recency gating and
+    slot -> frame resolution stay correct after the cursor wraps (slot
+    arithmetic breaks as soon as more frames than slots have been seen).
+    """
 
     multihot: jnp.ndarray  # (F, V) int8 — 1 where frame contains word
     counts: jnp.ndarray  # (F,) int32 number of distinct words per frame
+    frames: jnp.ndarray  # (F,) int32 frame number stored in slot (-1 empty)
     valid: jnp.ndarray  # (F,) bool
     next_slot: jnp.ndarray  # () int32 ring-buffer cursor
 
@@ -30,13 +36,16 @@ def create_database(max_frames: int, vocab_size: int) -> LoopDatabase:
     return LoopDatabase(
         multihot=jnp.zeros((max_frames, vocab_size), jnp.int8),
         counts=jnp.zeros((max_frames,), jnp.int32),
+        frames=jnp.full((max_frames,), -1, jnp.int32),
         valid=jnp.zeros((max_frames,), bool),
         next_slot=jnp.int32(0),
     )
 
 
 @jax.jit
-def add_frame(db: LoopDatabase, word_ids: jnp.ndarray) -> LoopDatabase:
+def add_frame(
+    db: LoopDatabase, word_ids: jnp.ndarray, frame: jnp.ndarray
+) -> LoopDatabase:
     """Insert a frame's word set (word_ids < 0 are ignored; duplicates
     collapse, matching the reference's set semantics lcd_main.c:29-35)."""
     v = db.multihot.shape[1]
@@ -47,6 +56,7 @@ def add_frame(db: LoopDatabase, word_ids: jnp.ndarray) -> LoopDatabase:
     return LoopDatabase(
         multihot=db.multihot.at[slot].set(row),
         counts=db.counts.at[slot].set(jnp.sum(row.astype(jnp.int32))),
+        frames=db.frames.at[slot].set(jnp.asarray(frame, jnp.int32)),
         valid=db.valid.at[slot].set(True),
         next_slot=(slot + 1) % db.multihot.shape[0],
     )
@@ -56,6 +66,7 @@ class LoopCandidates(NamedTuple):
     scores: jnp.ndarray  # (F,) shared-word counts (the reference's metric)
     normalized: jnp.ndarray  # (F,) score / min(|words_a|, |words_b|)
     best: jnp.ndarray  # () int32 best candidate slot (-1 if none)
+    best_frame: jnp.ndarray  # () int32 frame number in the best slot (-1)
     best_score: jnp.ndarray  # () float32 normalized score of best
 
 
@@ -63,15 +74,16 @@ class LoopCandidates(NamedTuple):
 def query(
     db: LoopDatabase,
     word_ids: jnp.ndarray,
-    current_index: jnp.ndarray,
+    current_frame: jnp.ndarray,
     min_frame_gap: int = 50,
     min_score: float = 0.05,
 ) -> LoopCandidates:
     """Score the current frame against the whole database in one matvec.
 
-    current_index: the slot index the current frame *would* occupy; slots
-    within min_frame_gap before it are excluded (recent frames trivially
-    share words).
+    current_frame: the querying frame's *frame number*; stored frames within
+    min_frame_gap of it are excluded (recent frames trivially share words).
+    Gating compares stored frame numbers, not slot indices, so it survives
+    ring wraparound.
     """
     v = db.multihot.shape[1]
     ok = word_ids >= 0
@@ -90,9 +102,7 @@ def query(
     denom = jnp.maximum(jnp.minimum(db.counts, qcount), 1)
     normalized = scores.astype(jnp.float32) / denom.astype(jnp.float32)
 
-    f = db.multihot.shape[0]
-    slots = jnp.arange(f)
-    recent = (slots > current_index - min_frame_gap) & (slots <= current_index)
+    recent = db.frames > current_frame - min_frame_gap
     eligible = db.valid & ~recent
     masked = jnp.where(eligible, normalized, -1.0)
     best = jnp.argmax(masked).astype(jnp.int32)
@@ -102,5 +112,6 @@ def query(
         scores=jnp.where(eligible, scores, 0),
         normalized=jnp.where(eligible, normalized, 0.0),
         best=jnp.where(found, best, -1),
+        best_frame=jnp.where(found, db.frames[best], -1),
         best_score=jnp.where(found, best_score, 0.0),
     )

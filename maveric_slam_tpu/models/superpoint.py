@@ -166,12 +166,25 @@ def _requant(acc_f32, in_scale, w_scale, bias, out_scale, relu: bool):
 def superpoint_int8(params: Params, images: jnp.ndarray):
     """Quantized inference, int8 semantics on the MXU.
 
-    The quantized values are *carried* as floats (bf16 on TPU, f32 on CPU)
-    rather than int8: int8 x int8 products (<= 2^14) are exact in bf16/f32
-    and the MXU accumulates them in f32, so the integer arithmetic is exact
-    while the convolutions hit the fast float conv path — XLA's int8 conv
-    lowering is ~15% slower on TPU and ~30x slower on CPU than this, for
-    bit-identical outputs (verified element-for-element on KITTI frames).
+    The quantized values are *carried* as floats (bf16 on TPU, f32
+    elsewhere) rather than int8: int8 x int8 products (<= 2^14) are exact in
+    bf16/f32 and the MXU accumulates them in f32, so the integer arithmetic
+    is exact while the convolutions hit the fast float conv path — XLA's
+    int8 conv lowering is ~15% slower on TPU and ~30x slower on CPU than
+    this, for bit-identical outputs (verified element-for-element on KITTI
+    frames). bf16 is enabled only on TPU: the exactness argument requires
+    bf16 products accumulated in true f32 (`preferred_element_type`), which
+    the MXU guarantees; other backends may route through reduced-precision
+    fast paths and are unvalidated, so they carry f32.
+
+    Exactness bound: an f32 accumulator holds integers exactly up to 2^24.
+    The worst-case int8 conv accumulation here is 3x3 x 128ch x 127^2
+    ~= 1.9e7 > 2^24, so exactness is data-dependent rather than guaranteed.
+    On natural images activations are sparse/small post-ReLU and the
+    observed accumulators stay far below the bound (validated 98% bit-exact
+    vs the reference's baked grids, residual +-1 LSB from round-half-even
+    at the requant step, not accumulator overflow); tests/test_superpoint.py
+    asserts the max |accumulator| margin on real frames.
 
     Args:
       params: from load_params().
@@ -183,8 +196,11 @@ def superpoint_int8(params: Params, images: jnp.ndarray):
       scales: dict with 'semi_scale' and 'desc_scale' (f32 scalars), matching
         the reference's per-tensor scales (quantized_image0.h:14, :1938).
     """
+    # "axon" is a tunneled-TPU PJRT plugin; same MXU guarantees as "tpu".
     carrier = (
-        jnp.bfloat16 if jax.default_backend() not in ("cpu",) else jnp.float32
+        jnp.bfloat16
+        if jax.default_backend() in ("tpu", "axon")
+        else jnp.float32
     )
     s = params["input_scale"]
     x = jnp.clip(jnp.round(images[..., None] / s), -128, 127).astype(carrier)
@@ -223,6 +239,48 @@ def superpoint_int8(params: Params, images: jnp.ndarray):
         desc_q.astype(jnp.int8),
         {"semi_scale": semi_scale, "desc_scale": desc_scale},
     )
+
+
+@jax.jit
+def int8_accumulator_maxima(params: Params, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Debug audit of the float-carried int8 path's exactness assumption.
+
+    Runs the same quantized graph as superpoint_int8 (f32 carrier) and
+    returns, per layer, max |integer accumulator + quantized bias|. Values
+    must stay below 2^24 for the f32-carried arithmetic to be exactly
+    integer (see superpoint_int8's docstring); tests assert this on real
+    KITTI frames.
+    """
+    s = params["input_scale"]
+    x = jnp.clip(jnp.round(images[..., None] / s), -128, 127)
+    maxima: Dict[str, jnp.ndarray] = {}
+
+    def qconv(x, name, in_scale, relu):
+        acc = _conv(x, params[f"{name}_w"].astype(jnp.float32), jnp.float32)
+        bias_q = jnp.round(
+            params[f"{name}_b"] / (in_scale * params[f"{name}_wscale"])
+        )
+        maxima[name] = jnp.max(jnp.abs(acc + bias_q))
+        q = _requant(
+            acc,
+            in_scale,
+            params[f"{name}_wscale"],
+            params[f"{name}_b"],
+            params[f"{name}_oscale"],
+            relu,
+        )
+        return q, params[f"{name}_oscale"]
+
+    sc = s
+    for name in _ENCODER:
+        x, sc = qconv(x, name, sc, True)
+        if name in ("conv1b", "conv2b", "conv3b"):
+            x = _maxpool2(x)
+    pa, sca = qconv(x, "convPa", sc, True)
+    qconv(pa, "convPb", sca, False)
+    da, scd = qconv(x, "convDa", sc, True)
+    qconv(da, "convDb", scd, False)
+    return maxima
 
 
 def grid_to_patch_major(grid: jnp.ndarray) -> jnp.ndarray:

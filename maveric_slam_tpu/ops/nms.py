@@ -1,6 +1,6 @@
 """Non-maximum suppression kernels.
 
-Three variants covering the reference's two NMS algorithms:
+Two TPU-native variants covering the reference's NMS algorithms:
 
 - `heatmap_nms`: TPU-native local-max NMS on the full-resolution heatmap via
   max-pooling — the fixed-shape replacement for the golden pipeline's
@@ -9,18 +9,17 @@ Three variants covering the reference's two NMS algorithms:
 - `quadrant_nms`: vectorized equivalent of the quantized-grid 2x2-quadrant
   NMS (reference: src/run_nms.c:43-175) that suppresses cell winners within
   L_inf < min_dist pixels of a stronger neighbor in the 4 surrounding cells.
-- `nms_fast_numpy`: exact host-side port of the greedy algorithm for golden
-  differential tests only (not a TPU path).
+
+The exact host-side greedy oracle lives in tests/golden_nms.py (test-only;
+heatmap_nms is differential-tested against it).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .softmax_topn import DUSTBIN, SoftmaxGrid
 
@@ -105,39 +104,3 @@ def quadrant_nms(grid: SoftmaxGrid, min_dist: int = 4) -> SoftmaxGrid:
     return SoftmaxGrid(probs=new_probs, indices=new_indices)
 
 
-def nms_fast_numpy(
-    in_corners: np.ndarray, h: int, w: int, dist_thresh: int
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Exact sequential greedy grid NMS (golden oracle; pairwise_pnp.py:116).
-
-    Host-side only — used to differential-test heatmap_nms and by eval
-    tooling. in_corners: (3, N) rows [x, y, conf].
-    """
-    grid = np.zeros((h, w), dtype=int)
-    inds = np.zeros((h, w), dtype=int)
-    inds1 = np.argsort(-in_corners[2, :])
-    corners = in_corners[:, inds1]
-    rcorners = corners[:2, :].round().astype(int)
-    if rcorners.shape[1] == 0:
-        return np.zeros((3, 0), dtype=int), np.zeros(0, dtype=int)
-    if rcorners.shape[1] == 1:
-        out = np.vstack((rcorners, in_corners[2])).reshape(3, 1)
-        return out, np.zeros(1, dtype=int)
-    for i in range(rcorners.shape[1]):
-        grid[rcorners[1, i], rcorners[0, i]] = 1
-        inds[rcorners[1, i], rcorners[0, i]] = i
-    pad = dist_thresh
-    grid = np.pad(grid, ((pad, pad), (pad, pad)), mode="constant")
-    for i, rc in enumerate(rcorners.T):
-        pt = (rc[0] + pad, rc[1] + pad)
-        if grid[pt[1], pt[0]] == 1:
-            grid[pt[1] - pad : pt[1] + pad + 1, pt[0] - pad : pt[0] + pad + 1] = 0
-            grid[pt[1], pt[0]] = -1
-    keepy, keepx = np.where(grid == -1)
-    keepy, keepx = keepy - pad, keepx - pad
-    inds_keep = inds[keepy, keepx]
-    out = corners[:, inds_keep]
-    inds2 = np.argsort(-out[-1, :])
-    out = out[:, inds2]
-    out_inds = inds1[inds_keep[inds2]]
-    return out, out_inds

@@ -213,7 +213,9 @@ class TestNMS:
         mask = np.asarray(nms.heatmap_nms(heat, dist=4, conf_thresh=0.015, border=4))
         ys, xs = np.where(heat >= 0.015)
         corners = np.stack([xs, ys, heat[ys, xs]]).astype(np.float64)
-        out, _ = nms.nms_fast_numpy(corners, h, w, 4)
+        from golden_nms import nms_fast_numpy
+
+        out, _ = nms_fast_numpy(corners, h, w, 4)
         keep = out[:, (out[0] >= 4) & (out[0] < w - 4) & (out[1] >= 4) & (out[1] < h - 4)]
         got = {(int(x), int(y)) for y, x in zip(*np.where(mask))}
         want = {(int(x), int(y)) for x, y in zip(keep[0], keep[1])}

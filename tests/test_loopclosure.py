@@ -121,12 +121,12 @@ class TestLoopDatabase:
             frames.append(ids)
             padded = np.full(256, -1, np.int32)
             padded[: len(ids)] = ids
-            db = lcd.add_frame(db, padded)
+            db = lcd.add_frame(db, padded, f)
 
         q_ids = frames[3]  # re-query an old frame's words
         padded = np.full(256, -1, np.int32)
         padded[: len(q_ids)] = q_ids
-        res = lcd.query(db, padded, current_index=np.int32(20), min_frame_gap=5)
+        res = lcd.query(db, padded, current_frame=np.int32(20), min_frame_gap=5)
         scores = np.asarray(res.scores)
         for f in range(15):  # outside the recency window
             want = self.oracle_merge_join(frames[f], q_ids)
@@ -141,9 +141,9 @@ class TestLoopDatabase:
         ids = rng.choice(10000, 100, replace=False)
         padded = np.full(256, -1, np.int32)
         padded[:100] = ids
-        for _ in range(10):
-            db = lcd.add_frame(db, padded)  # identical recent frames
-        res = lcd.query(db, padded, current_index=np.int32(10), min_frame_gap=50)
+        for f in range(10):
+            db = lcd.add_frame(db, padded, f)  # identical recent frames
+        res = lcd.query(db, padded, current_frame=np.int32(10), min_frame_gap=50)
         # All stored frames are recent: no candidate despite perfect scores.
         assert int(res.best) == -1
 
@@ -152,6 +152,42 @@ class TestLoopDatabase:
         for f in range(6):
             ids = np.full(8, -1, np.int32)
             ids[0] = f * 10
-            db = lcd.add_frame(db, ids)
+            db = lcd.add_frame(db, ids, f)
         assert int(db.next_slot) == 2
         assert np.asarray(db.valid).all()
+        # Slots 0/1 were overwritten by frames 4/5.
+        assert np.asarray(db.frames).tolist() == [4, 5, 2, 3]
+
+    def test_recency_correct_past_wraparound(self):
+        """Recency gating must track frame numbers, not slot indices: after
+        the ring wraps, low slot indices hold the *newest* frames."""
+        rng = np.random.default_rng(33)
+        cap = 8
+        db = lcd.create_database(max_frames=cap, vocab_size=1000)
+        word_sets = []
+        n_frames = 3 * cap + 2  # wraps the ring twice
+        for f in range(n_frames):
+            ids = rng.choice(1000, 64, replace=False).astype(np.int32)
+            word_sets.append(ids)
+            db = lcd.add_frame(db, ids, f)
+
+        # Query with the words of the oldest still-stored frame; with a gap
+        # of 3 the most recent 3 frames are ineligible even though they sit
+        # at *low* slot indices post-wrap.
+        oldest = n_frames - cap
+        res = lcd.query(
+            db, word_sets[oldest], current_frame=np.int32(n_frames),
+            min_frame_gap=3, min_score=0.5,
+        )
+        assert int(res.best_frame) == oldest
+        assert float(res.best_score) == 1.0
+        frames_arr = np.asarray(db.frames)
+        assert int(frames_arr[int(res.best)]) == oldest
+
+        # Self-query of the newest frame: gated out by recency (would have
+        # been *eligible* under slot arithmetic after the wrap).
+        res2 = lcd.query(
+            db, word_sets[-1], current_frame=np.int32(n_frames),
+            min_frame_gap=3, min_score=0.99,
+        )
+        assert int(res2.best) == -1

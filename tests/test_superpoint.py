@@ -32,6 +32,25 @@ def img0():
     return kitti.load_frame(FRAME0)
 
 
+class TestAccumulatorBound:
+    def test_int8_accumulators_below_f32_exact_range(self, params):
+        """The float-carried int8 path is exactly integer only while every
+        conv accumulator stays below 2^24 (superpoint_int8 docstring). Audit
+        the bound over diverse real frames and require a 2x margin."""
+        base = os.path.dirname(FRAME0)
+        frames = [
+            kitti.load_frame(os.path.join(base, f"{f:06d}.png"))
+            for f in (0, 10, 160, 165)
+        ]
+        worst = {}
+        for img in frames:
+            maxima = sp.int8_accumulator_maxima(params, img[None])
+            for name, v in maxima.items():
+                worst[name] = max(worst.get(name, 0.0), float(v))
+        for name, v in worst.items():
+            assert v < 2.0**23, (name, v)
+
+
 class TestInt8Parity:
     def test_semi_grid_matches_reference(self, params, img0):
         semi_q, desc_q, scales = sp.superpoint_int8(params, img0[None])
