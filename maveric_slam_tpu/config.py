@@ -132,15 +132,34 @@ class BAConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe selection policy (net-new: the reference has none — it
+    bounds state only by its 8-frame pool window, local_feature_pool.h:11).
+
+    A frame becomes a keyframe when at least min_interval frames passed
+    since the last one AND (the match ratio to the previous frame dropped
+    below min_match_ratio, or max_interval frames passed). Keyframes are
+    what enters the loop-closure database and the pose graph, which bounds
+    long-run state growth."""
+
+    min_interval: int = 1
+    max_interval: int = 4
+    min_match_ratio: float = 0.55  # inliers / top_n
+
+
+@dataclasses.dataclass(frozen=True)
 class LoopClosureConfig:
     """BoW loop closure (reference: src/bow_main.c, src/lcd_main.c)."""
 
     num_base_nodes: int = 10  # reference: include/data/LCD/vocabulary.h:5
     words_per_base_node: int = 1000  # reference: vocabulary.h:270
     top_n_features: int = 100  # reference: bow_main.c:9
-    max_db_frames: int = 4096
+    max_db_frames: int = 4096  # keyframe ring capacity
     min_score: float = 0.05
-    min_frame_gap: int = 50
+    min_frame_gap: int = 50  # in frames (not slots/keyframes)
+    # Pose-graph skeleton cap: loop correction optimizes at most this many
+    # nodes (keyframes are subsampled, skipped poses ride along rigidly).
+    max_graph_nodes: int = 256
 
     @property
     def vocab_size(self) -> int:
@@ -163,6 +182,7 @@ class SlamConfig:
     matcher: MatcherConfig = MatcherConfig()
     ransac: RansacConfig = RansacConfig()
     ba: BAConfig = BAConfig()
+    keyframe: KeyframeConfig = KeyframeConfig()
     loop: LoopClosureConfig = LoopClosureConfig()
     pool: PoolConfig = PoolConfig()
 

@@ -35,6 +35,8 @@ class TrackerState(NamedTuple):
     depth: jnp.ndarray  # (num_cells,) float32 — per-cell landmark depth
     depth_valid: jnp.ndarray  # (num_cells,) bool
     scale: jnp.ndarray  # () float32 — last step length in global units
+    prev_R: jnp.ndarray  # (3, 3) last accepted step rotation (constant-
+    prev_t: jnp.ndarray  # (3,)   velocity fallback for degenerate frames)
     key: jnp.ndarray  # PRNG key, split on-device each step (one host
     #     dispatch per frame matters on tunneled/remote devices)
 
@@ -42,6 +44,10 @@ class TrackerState(NamedTuple):
 class StepResult(NamedTuple):
     R: jnp.ndarray  # (3, 3) p_new = R p_prev + t
     t: jnp.ndarray  # (3,) scaled translation
+    valid: jnp.ndarray  # () bool — False: degenerate frame (textureless /
+    #     zero matches / RANSAC failure); R, t are the constant-velocity
+    #     fallback, not a measurement. The reference exit(1)s here
+    #     (src/top_N.c:91-94); a production tracker must keep streaming.
     num_matches: jnp.ndarray
     num_inliers: jnp.ndarray
     num_scale_pairs: jnp.ndarray
@@ -79,6 +85,8 @@ def init_state(
         depth=jnp.zeros((n,), jnp.float32),
         depth_valid=jnp.zeros((n,), bool),
         scale=jnp.float32(1.0),
+        prev_R=jnp.eye(3, dtype=jnp.float32),
+        prev_t=jnp.zeros((3,), jnp.float32),
         key=jax.random.PRNGKey(seed),
     )
 
@@ -170,13 +178,28 @@ def _step_from_feats(
     R_out = jnp.where(ok, refined.R, res.R)
     t_out = jnp.where(ok, refined.t, res.t * scale)
 
+    # Degenerate-frame gate: a textureless frame (all-dustbin grid), zero
+    # valid matches, or <8 usable correspondences leaves RANSAC with
+    # rank-deficient solves whose SVDs can emit NaN. Detect it and emit a
+    # flagged constant-velocity step instead of garbage; the next good
+    # frame re-acquires tracking against this frame's (still stored)
+    # features. Reference behavior at this point is exit(1) (top_N.c:91).
+    step_valid = (
+        (m.num_matches >= 8)
+        & (res.num_inliers >= 5)
+        & jnp.all(jnp.isfinite(R_out))
+        & jnp.all(jnp.isfinite(t_out))
+    )
+    R_out = jnp.where(step_valid, R_out, state.prev_R)
+    t_out = jnp.where(step_valid, t_out, state.prev_t)
+
     # New per-cell depth map in the new frame's coordinates.
     p_cam_new = (
         jnp.einsum("ij,nj->ni", R_out, X_scaled) + t_out
     )  # scaled points in new frame
     new_depth = jnp.zeros((n_cells,), jnp.float32)
     new_valid = jnp.zeros((n_cells,), bool)
-    write = depth_ok
+    write = depth_ok & step_valid & jnp.all(jnp.isfinite(p_cam_new), axis=-1)
     cells_new = jnp.where(write, top.cells, 0)
     new_depth = new_depth.at[cells_new].set(
         jnp.where(write, p_cam_new[..., 2], 0.0)
@@ -194,21 +217,25 @@ def _step_from_feats(
         xy=feats.xy.reshape(n_cells, 2),
         depth=new_depth,
         depth_valid=new_valid,
-        scale=jnp.linalg.norm(t_out),
+        scale=jnp.where(step_valid, jnp.linalg.norm(t_out), state.scale),
+        prev_R=R_out,
+        prev_t=t_out,
         key=next_key,
     )
+    inliers_out = res.inliers & step_valid
     return new_state, StepResult(
         R=R_out,
         t=t_out,
+        valid=step_valid,
         num_matches=m.num_matches,
-        num_inliers=res.num_inliers,
+        num_inliers=jnp.where(step_valid, res.num_inliers, 0),
         num_scale_pairs=jnp.sum(pair_ok).astype(jnp.int32),
         scale=scale,
         cells_new=top.cells,
         xy_new=m.xy1,
-        matched_prev_cell=jnp.where(res.inliers, m.cell0, -1),
+        matched_prev_cell=jnp.where(inliers_out, m.cell0, -1),
         match_score=m.score,
-        match_mask=m.mask & res.inliers,
+        match_mask=m.mask & inliers_out,
         desc_top=desc1[top.cells],
         desc_scale=feats.desc_scale,
     )
@@ -238,6 +265,7 @@ class Tracker:
                 "inliers": int(step.num_inliers),
                 "scale_pairs": int(step.num_scale_pairs),
                 "scale": float(step.scale),
+                "valid": bool(step.valid),
             }
         )
         return step

@@ -4,10 +4,19 @@ Composes every subsystem into the end-to-end engine the reference never
 assembled (its components are seven standalone benchmark mains —
 SURVEY.md section 0): the quantized frame-to-frame tracker
 (frontend.tracker), multi-frame track table (tracks), sliding-window
-Schur-complement BA over the tracked landmarks (backend.ba), BoW
-loop-closure detection (loopclosure), relative-pose verification of loop
-candidates (geometry.ransac), and pose-graph correction
-(backend.pose_graph).
+Schur-complement BA over the tracked landmarks (backend.ba), the
+device-resident feature pool as covisibility store (mapping.feature_pool,
+the TPU redesign of include/local_feature_pool.h), BoW loop-closure
+detection over keyframes (loopclosure), relative-pose verification of loop
+candidates (geometry.ransac), and pose-graph correction over a bounded
+keyframe skeleton (backend.pose_graph).
+
+Long-run state is bounded: only keyframes (config.keyframe policy) enter
+the LCD database and its fixed-capacity ring of stored features; the pose
+graph optimizes at most config.loop.max_graph_nodes skeleton nodes, with
+skipped poses riding along rigidly. This is the structural piece the
+reference bounds with its 8-frame pool window (local_feature_pool.h:11)
+and that an unmanaged every-frame design breaks on long sequences.
 
 Host orchestration only — every numeric kernel runs jitted on device.
 Pose bookkeeping: self.poses[k] is T_w_ck (camera-to-world, KITTI format).
@@ -27,6 +36,7 @@ from .config import SlamConfig
 from .frontend import tracker as trk
 from .geometry import epipolar, ransac
 from .loopclosure import lcd, vocab as vocab_lib
+from .mapping import feature_pool
 from .ops import lie, matching
 from .tracks import TrackTable
 from .utils.trajectory import compose_trajectory
@@ -64,19 +74,25 @@ class SlamSystem:
         )
         self.stats: List[dict] = []
         self.loop_events: List[LoopClosureEvent] = []
+        # Keyframe bookkeeping (frame 0 is always the first keyframe/anchor).
+        self.kf_frames: List[int] = [0]
+        self._last_kf = 0
 
         if enable_loop_closure:
             self.vocab = vocab_lib.load_reference_vocabulary()
             self.db = lcd.create_database(
                 config.loop.max_db_frames, self.config.loop.vocab_size
             )
-            # Per-db-slot stored features for loop verification (slot k
-            # was inserted at frame self.kf_frame[k]; frame 0 has no step
-            # output, so slots start at frame 1).
-            self.kf_desc: List[np.ndarray] = []
-            self.kf_xy: List[np.ndarray] = []
-            self.kf_mask: List[np.ndarray] = []
-            self.kf_frame: List[int] = []
+            # Fixed-capacity ring of per-keyframe features for loop
+            # verification, aligned with db slots (slot k's entry records
+            # which frame wrote it so stale reuse after wraparound is
+            # detectable).
+            self.kf_store: List[Optional[dict]] = [None] * config.loop.max_db_frames
+            # Covisibility store: word -> sighting stats over the recent
+            # frame window (the reference's local_feature_pool role).
+            self.pool = feature_pool.create(
+                config.loop.vocab_size, window=config.pool.max_frames
+            )
 
     # ------------------------------------------------------------------ #
 
@@ -98,6 +114,22 @@ class SlamSystem:
         T_rel[:3, 3] = t
         self.poses.append(self.poses[-1] @ np.linalg.inv(T_rel))
 
+        # Visual-word assignment feeds the covisibility pool, the track
+        # table, and (on keyframes) the loop-closure database.
+        word_ids = None
+        if self.enable_loop_closure:
+            fmask = np.asarray(step.cells_new) >= 0
+            wa = vocab_lib.assign_words(
+                step.desc_top, step.desc_scale, jnp.asarray(fmask), self.vocab
+            )
+            word_ids = np.asarray(wa.word_id)
+            self.pool = feature_pool.observe_batch(
+                self.pool, wa.word_id, jnp.int32(self.frame_idx)
+            )
+            self.pool = feature_pool.remove_old(
+                self.pool, jnp.int32(self.frame_idx)
+            )
+
         self.tracks.advance(
             self.frame_idx,
             np.asarray(step.cells_new),
@@ -105,12 +137,14 @@ class SlamSystem:
             np.asarray(step.matched_prev_cell),
             np.asarray(step.match_score),
             np.asarray(step.match_mask),
+            word_ids=word_ids,
         )
         self.stats.append(
             {
                 "matches": int(step.num_matches),
                 "inliers": int(step.num_inliers),
                 "scale": float(step.scale),
+                "valid": bool(step.valid),
             }
         )
 
@@ -122,7 +156,7 @@ class SlamSystem:
             self._run_window_ba()
 
         if self.enable_loop_closure:
-            self._loop_closure_step(step)
+            self._keyframe_step(step, word_ids)
 
     # ------------------------------------------------------------------ #
 
@@ -131,12 +165,30 @@ class SlamSystem:
         first = max(0, self.frame_idx - p + 1)
         return list(range(first, self.frame_idx + 1))
 
+    def _landmark_priorities(self) -> Optional[dict]:
+        """Covisibility weights from the feature pool, keyed by track id.
+
+        The pool's num_sightings counts distinct recent frames in which a
+        track's visual word was observed — persistent map words outrank
+        one-off detections for the fixed BA landmark budget (the role the
+        reference's local_feature_pool plays for its matcher,
+        local_feature_pool.h:82-131)."""
+        if not self.enable_loop_closure or not self.tracks.words:
+            return None
+        tids = list(self.tracks.words.keys())
+        words = np.asarray([self.tracks.words[t] for t in tids], np.int32)
+        w = np.asarray(
+            feature_pool.covisibility_weights(self.pool, jnp.asarray(words))
+        )
+        return {tid: float(w[k]) for k, tid in enumerate(tids)}
+
     def _run_window_ba(self) -> None:
         frames = self._window_frames()
         if len(frames) < 3:
             return
         uv, mask, tids = self.tracks.window_problem(
-            frames, self.config.ba.max_landmarks
+            frames, self.config.ba.max_landmarks,
+            priorities=self._landmark_priorities(),
         )
         n_l = int((mask.sum(1) >= 2).sum())
         if n_l < 16:
@@ -155,8 +207,9 @@ class SlamSystem:
 
         # Pad poses to the full window size (dense problem shape is static).
         p = self.config.ba.num_poses
-        if len(frames) < p:
-            pad = p - len(frames)
+        n_real = len(frames)
+        if n_real < p:
+            pad = p - n_real
             R_cw = np.concatenate([R_cw, np.repeat(R_cw[-1:], pad, 0)])
             t_cw = np.concatenate([t_cw, np.repeat(t_cw[-1:], pad, 0)])
             uv = np.concatenate(
@@ -182,13 +235,79 @@ class SlamSystem:
             num_anchored=2,
         )
         # Write optimized poses back (cam-from-world -> cam-to-world).
-        R_opt = np.asarray(solved.R)[: len(frames)]
-        t_opt = np.asarray(solved.t)[: len(frames)]
+        R_opt = np.asarray(solved.R)[:n_real]
+        t_opt = np.asarray(solved.t)[:n_real]
         for k, f in enumerate(frames):
             T = np.eye(4)
             T[:3, :3] = R_opt[k].T
             T[:3, 3] = -R_opt[k].T @ t_opt[k]
             self.poses[f] = T
+
+        # Feed optimized structure back into the tracker's depth map: the
+        # scale chain re-anchors on BA-corrected depths instead of drifting
+        # on raw two-view triangulations.
+        self._feedback_landmarks(solved, uv, mask, tids, n_real)
+
+    # Depth write-back gates (class-level so deployments can tune them):
+    # landmarks must reproject within FB_ERR_PX in the current frame and
+    # carry at least FB_MIN_OBS in-window observations.
+    FB_ERR_PX = 1.0
+    FB_MIN_OBS = 3
+
+    def _feedback_landmarks(self, solved, uv, mask, tids, n_real: int) -> None:
+        max_err_px = self.FB_ERR_PX
+        mask = np.asarray(mask)
+        obs_last = mask[:, n_real - 1] & (mask.sum(1) >= self.FB_MIN_OBS)
+        if not obs_last.any():
+            return
+        X_opt = np.asarray(solved.X)  # (L, 3) world coords
+        R_last = np.asarray(solved.R)[n_real - 1]  # cam-from-world
+        t_last = np.asarray(solved.t)[n_real - 1]
+        p_cam = X_opt @ R_last.T + t_last
+        z = p_cam[:, 2]
+
+        # Only feed back landmarks BA actually explains well in the current
+        # frame: a loose write-back drags the scale chain toward badly
+        # initialized/diverged points.
+        K = self.config.working_camera.K
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = K[0, 0] * p_cam[:, 0] / z + K[0, 2]
+            v = K[1, 1] * p_cam[:, 1] / z + K[1, 2]
+        err = np.hypot(
+            u - np.asarray(uv)[:, n_real - 1, 0],
+            v - np.asarray(uv)[:, n_real - 1, 1],
+        )
+        good = (
+            obs_last
+            & (np.asarray(tids) >= 0)
+            & (z > 0.1)
+            & (z < 500.0)
+            & np.isfinite(err)
+            & (err < max_err_px)
+        )
+        if not good.any():
+            return
+
+        cell_of_tid = {
+            int(tid): c
+            for c, tid in enumerate(self.tracks.cell_to_track)
+            if tid >= 0
+        }
+        depth = np.asarray(self.state.depth).copy()
+        valid = np.asarray(self.state.depth_valid).copy()
+        tids = np.asarray(tids)
+        wrote = False
+        for l in np.nonzero(good)[0]:
+            c = cell_of_tid.get(int(tids[l]))
+            if c is None:
+                continue
+            depth[c] = z[l]
+            valid[c] = True
+            wrote = True
+        if wrote:
+            self.state = self.state._replace(
+                depth=jnp.asarray(depth), depth_valid=jnp.asarray(valid)
+            )
 
     def _triangulate_landmarks(self, uv, mask, R_cw, t_cw) -> np.ndarray:
         """Two-view DLT per landmark from its first/last in-window obs."""
@@ -225,58 +344,79 @@ class SlamSystem:
         return X_w
 
     # ------------------------------------------------------------------ #
+    # Keyframing + loop closure
+    # ------------------------------------------------------------------ #
 
-    def _loop_closure_step(self, step: trk.StepResult) -> None:
+    def _is_keyframe(self, step: trk.StepResult) -> bool:
+        kc = self.config.keyframe
+        since = self.frame_idx - self._last_kf
+        if since < kc.min_interval:
+            return False
+        if since >= kc.max_interval:
+            return True
+        ratio = int(step.num_inliers) / max(self.config.frontend.top_n, 1)
+        return ratio < kc.min_match_ratio
+
+    def _keyframe_step(self, step: trk.StepResult, word_ids: np.ndarray) -> None:
+        if not self._is_keyframe(step):
+            return
+        self._last_kf = self.frame_idx
         cfg = self.config.loop
-        desc = np.asarray(step.desc_top)
-        xy = np.asarray(step.xy_new)
-        fmask = np.asarray(step.cells_new) >= 0
-        wa = vocab_lib.assign_words(
-            jnp.asarray(desc), step.desc_scale, jnp.asarray(fmask), self.vocab
-        )
-        word_ids = wa.word_id
 
+        wid = jnp.asarray(word_ids)
         res = lcd.query(
             self.db,
-            word_ids,
-            current_index=jnp.int32(len(self.kf_frame)),
+            wid,
+            current_frame=jnp.int32(self.frame_idx),
             min_frame_gap=cfg.min_frame_gap,
             min_score=cfg.min_score,
         )
-        self.db = lcd.add_frame(self.db, word_ids)
-        self.kf_desc.append(desc)
-        self.kf_xy.append(xy)
-        self.kf_mask.append(fmask)
-        self.kf_frame.append(self.frame_idx)
+        slot = int(self.db.next_slot)
+        self.db = lcd.add_frame(self.db, wid, jnp.int32(self.frame_idx))
+        self.kf_store[slot] = {
+            "frame": self.frame_idx,
+            "desc": np.asarray(step.desc_top),
+            "xy": np.asarray(step.xy_new),
+            "mask": np.asarray(step.cells_new) >= 0,
+        }
+        self.kf_frames.append(self.frame_idx)
 
-        best = int(res.best)
-        if best < 0 or best >= len(self.kf_frame) - 1:
+        best_slot = int(res.best)
+        if best_slot < 0:
             return
-        accepted = self._verify_and_close_loop(best, float(res.best_score))
+        entry = self.kf_store[best_slot]
+        matched_frame = int(res.best_frame)
+        if entry is None or entry["frame"] != matched_frame:
+            return  # stale slot (overwritten since scoring) — skip
+        accepted = self._verify_and_close_loop(
+            entry, step, float(res.best_score)
+        )
         if accepted:
             self.loop_events.append(accepted)
 
     def _verify_and_close_loop(
-        self, matched_slot: int, score: float
+        self, entry: dict, step: trk.StepResult, score: float
     ) -> Optional[LoopClosureEvent]:
         """Geometric check of an LCD candidate + pose-graph correction."""
         cur = self.frame_idx
-        matched_frame = self.kf_frame[matched_slot]
-        d_a = self.kf_desc[matched_slot].astype(np.float32)
-        d_b = self.kf_desc[-1].astype(np.float32)
+        matched_frame = entry["frame"]
+        d_a = entry["desc"].astype(np.float32)
+        d_b = np.asarray(step.desc_top).astype(np.float32)
         d_a /= np.maximum(np.linalg.norm(d_a, axis=-1, keepdims=True), 1e-9)
         d_b /= np.maximum(np.linalg.norm(d_b, axis=-1, keepdims=True), 1e-9)
+        cur_xy = np.asarray(step.xy_new)
+        cur_mask = np.asarray(step.cells_new) >= 0
         m = matching.nn_match_dot(
             jnp.asarray(d_a),
             jnp.asarray(d_b),
-            jnp.asarray(self.kf_mask[matched_slot]),
-            jnp.asarray(self.kf_mask[-1]),
+            jnp.asarray(entry["mask"]),
+            jnp.asarray(cur_mask),
             dot_thresh=self.config.matcher.dot_thresh,
         )
         K = jnp.asarray(self.config.working_camera.K)
-        p1 = epipolar.normalize_points(jnp.asarray(self.kf_xy[matched_slot]), K)
+        p1 = epipolar.normalize_points(jnp.asarray(entry["xy"]), K)
         p2 = epipolar.normalize_points(
-            jnp.asarray(self.kf_xy[-1][np.asarray(m.index)]), K
+            jnp.asarray(cur_xy[np.asarray(m.index)]), K
         )
         self.key, sub = jax.random.split(self.key)
         rr = ransac.ransac_essential(
@@ -288,13 +428,6 @@ class SlamSystem:
         if n_in < 30:
             return None
 
-        # Pose-graph over all frames: odometry edges + the loop edge.
-        n = len(self.rel_poses)
-        rel_R = np.stack([p[0] for p in self.rel_poses]).astype(np.float32)
-        rel_t = np.stack([p[1] for p in self.rel_poses]).astype(np.float32)
-        ei, ej, Rm, tm = pose_graph.odometry_edges(
-            jnp.asarray(rel_R), jnp.asarray(rel_t)
-        )
         # Loop edge measurement T_c_matched_c_cur: rotation from RANSAC;
         # translation direction from RANSAC scaled by the current estimate
         # (monocular: the magnitude is unobservable from one pair).
@@ -304,18 +437,89 @@ class SlamSystem:
         R_m_lc, t_m_lc = lie.se3_inverse(
             jnp.asarray(R_lc), jnp.asarray(np.asarray(rr.t) * t_scale, jnp.float32)
         )
-        edge_i = np.concatenate([np.asarray(ei), [matched_frame]]).astype(np.int32)
-        edge_j = np.concatenate([np.asarray(ej), [cur]]).astype(np.int32)
-        R_meas = np.concatenate([np.asarray(Rm), np.asarray(R_m_lc)[None]])
-        t_meas = np.concatenate([np.asarray(tm), np.asarray(t_m_lc)[None]])
-        weight = np.ones(n + 1, np.float32)
-        weight[-1] = 5.0
+        self._optimize_skeleton_graph(
+            matched_frame, cur, np.asarray(R_m_lc), np.asarray(t_m_lc)
+        )
+        return LoopClosureEvent(
+            frame=cur, matched_frame=matched_frame, score=score, num_inliers=n_in
+        )
 
-        poses_R = np.stack([T[:3, :3] for T in self.poses]).astype(np.float32)
-        poses_t = np.stack([T[:3, 3] for T in self.poses]).astype(np.float32)
+    # -- bounded pose-graph correction --------------------------------- #
+
+    def _skeleton_nodes(self, matched_frame: int, cur: int) -> List[int]:
+        """Keyframe node set for the loop correction, capped at
+        max_graph_nodes by stride subsampling (loop endpoints + the anchor
+        frame 0 always survive)."""
+        nodes = sorted(set(self.kf_frames) | {0, matched_frame, cur})
+        cap = self.config.loop.max_graph_nodes
+        if len(nodes) <= cap:
+            return nodes
+        stride = -(-len(nodes) // cap)  # ceil
+        keep = set(nodes[::stride]) | {0, matched_frame, cur, nodes[-1]}
+        return sorted(keep)
+
+    def _compose_rel(self, a: int, b: int) -> np.ndarray:
+        """Raw odometry composition T_cb_ca (a < b) from rel_poses."""
+        T = np.eye(4)
+        for k in range(a, b):
+            R, t = self.rel_poses[k]  # T_c(k+1)_ck
+            M = np.eye(4)
+            M[:3, :3] = R
+            M[:3, 3] = t
+            T = M @ T
+        return T
+
+    def _optimize_skeleton_graph(
+        self, matched_frame: int, cur: int, R_m_lc: np.ndarray, t_m_lc: np.ndarray
+    ) -> None:
+        nodes = self._skeleton_nodes(matched_frame, cur)
+        n = len(nodes)
+        node_pos = {f: k for k, f in enumerate(nodes)}
+
+        # Odometry edges between consecutive skeleton nodes: measurement is
+        # the composed raw relative motion, inverted to the graph's
+        # T_ci_cj convention (pose_graph.PoseGraph docstring).
+        edge_i, edge_j, R_meas, t_meas, weight = [], [], [], [], []
+        for k in range(n - 1):
+            a, b = nodes[k], nodes[k + 1]
+            T_ba = self._compose_rel(a, b)
+            T_ab = np.linalg.inv(T_ba)
+            edge_i.append(k)
+            edge_j.append(k + 1)
+            R_meas.append(T_ab[:3, :3])
+            t_meas.append(T_ab[:3, 3])
+            weight.append(1.0)
+        # The loop edge.
+        edge_i.append(node_pos[matched_frame])
+        edge_j.append(node_pos[cur])
+        R_meas.append(R_m_lc)
+        t_meas.append(t_m_lc)
+        weight.append(5.0)
+
+        # Pad nodes/edges to power-of-two buckets: each loop event would
+        # otherwise compile a fresh executable for its exact node count.
+        # Dummy nodes are identity poses touched only by the LM damping;
+        # dummy edges carry weight 0.
+        n_pad = max(8, 1 << (n - 1).bit_length())
+        e_pad = n_pad + 8
+        T_old = np.stack([self.poses[f] for f in nodes])
+        T_old_p = np.concatenate(
+            [T_old, np.tile(np.eye(4), (n_pad - n, 1, 1))], axis=0
+        )
+        ne = len(edge_i)
+        edge_i = np.pad(np.asarray(edge_i, np.int32), (0, e_pad - ne))
+        edge_j = np.pad(np.asarray(edge_j, np.int32), (0, e_pad - ne))
+        R_meas = np.concatenate(
+            [np.stack(R_meas), np.tile(np.eye(3), (e_pad - ne, 1, 1))], axis=0
+        )
+        t_meas = np.concatenate(
+            [np.stack(t_meas), np.zeros((e_pad - ne, 3))], axis=0
+        )
+        weight = np.pad(np.asarray(weight, np.float32), (0, e_pad - ne))
+
         graph = pose_graph.PoseGraph(
-            R=jnp.asarray(poses_R),
-            t=jnp.asarray(poses_t),
+            R=jnp.asarray(T_old_p[:, :3, :3], jnp.float32),
+            t=jnp.asarray(T_old_p[:, :3, 3], jnp.float32),
             edge_i=jnp.asarray(edge_i),
             edge_j=jnp.asarray(edge_j),
             R_meas=jnp.asarray(R_meas, jnp.float32),
@@ -323,16 +527,19 @@ class SlamSystem:
             weight=jnp.asarray(weight),
         )
         opt, costs = pose_graph.optimize(graph, iterations=8)
-        R_new = np.asarray(opt.R)
-        t_new = np.asarray(opt.t)
-        for k in range(len(self.poses)):
-            T = np.eye(4)
-            T[:3, :3] = R_new[k]
-            T[:3, 3] = t_new[k]
-            self.poses[k] = T
-        return LoopClosureEvent(
-            frame=cur, matched_frame=matched_frame, score=score, num_inliers=n_in
-        )
+        R_new = np.asarray(opt.R)[:n]
+        t_new = np.asarray(opt.t)[:n]
+
+        # Rigid ride-along: every pose attaches to the nearest preceding
+        # skeleton node and moves by that node's correction.
+        T_new = np.tile(np.eye(4), (n, 1, 1))
+        T_new[:, :3, :3] = R_new
+        T_new[:, :3, 3] = t_new
+        deltas = T_new @ np.linalg.inv(T_old)  # (n, 4, 4) world-side
+        node_arr = np.asarray(nodes)
+        for f in range(len(self.poses)):
+            k = int(np.searchsorted(node_arr, f, side="right") - 1)
+            self.poses[f] = deltas[k] @ self.poses[f]
 
     # ------------------------------------------------------------------ #
 

@@ -30,6 +30,7 @@ class TrackTable:
         self.cell_to_track = np.full(num_cells, -1, np.int64)
         self.observations: Dict[int, List[Observation]] = {}
         self.scores: Dict[int, float] = {}
+        self.words: Dict[int, int] = {}  # latest visual-word id per track
 
     def advance(
         self,
@@ -39,6 +40,7 @@ class TrackTable:
         matched_prev_cell: np.ndarray,  # (N,) matched cell in prev frame or -1
         score: np.ndarray,  # (N,) match score
         mask: np.ndarray,  # (N,) bool
+        word_ids: np.ndarray | None = None,  # (N,) visual word per feature
     ) -> None:
         """Ingest one frame's matches; extends or starts tracks."""
         new_map = np.full(self.num_cells, -1, np.int64)
@@ -64,6 +66,8 @@ class TrackTable:
             if len(obs) > self.max_length:
                 del obs[0]
             new_map[c_new] = tid
+            if word_ids is not None and word_ids[i] >= 0:
+                self.words[tid] = int(word_ids[i])
         self.cell_to_track = new_map
         # Drop tracks that fell out of the table and have stale heads.
         live = set(new_map[new_map >= 0].tolist())
@@ -74,6 +78,7 @@ class TrackTable:
             ):
                 del self.observations[tid]
                 self.scores.pop(tid, None)
+                self.words.pop(tid, None)
 
     def get_tracks(self, min_length: int = 2) -> List[Tuple[int, List[Observation]]]:
         """Tracks with at least min_length observations (PointTracker
@@ -88,12 +93,16 @@ class TrackTable:
         self,
         frames: List[int],
         max_landmarks: int,
+        priorities: Dict[int, float] | None = None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Dense (L, P) observation grid for the given keyframe window.
 
         Returns (uv (L, P, 2), mask (L, P), track_ids (L,)); tracks with >= 2
         observations inside the window, strongest first, capped at
-        max_landmarks with zero padding.
+        max_landmarks with zero padding. `priorities` (e.g. feature-pool
+        covisibility weights keyed by track id) breaks ties between tracks
+        of equal window length — stable, well-covised landmarks win the
+        fixed BA budget.
         """
         p = len(frames)
         frame_pos = {f: k for k, f in enumerate(frames)}
@@ -102,7 +111,10 @@ class TrackTable:
             hits = [(frame_pos[o.frame], o.xy) for o in obs if o.frame in frame_pos]
             if len(hits) >= 2:
                 rows.append((len(hits), tid, hits))
-        rows.sort(key=lambda r: -r[0])
+        if priorities:
+            rows.sort(key=lambda r: (-r[0], -priorities.get(r[1], 0.0)))
+        else:
+            rows.sort(key=lambda r: -r[0])
         rows = rows[:max_landmarks]
 
         uv = np.zeros((max_landmarks, p, 2), np.float32)

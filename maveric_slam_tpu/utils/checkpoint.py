@@ -30,6 +30,7 @@ def save(slam: "SlamSystem", path: str) -> None:
     if slam.state is not None:
         for name, val in slam.state._asdict().items():
             arrays[f"tracker_{name}"] = np.asarray(val)
+    arrays["rng_key"] = np.asarray(slam.key)
 
     arrays["poses"] = np.stack(slam.poses) if slam.poses else np.zeros((0, 4, 4))
     if slam.rel_poses:
@@ -54,15 +55,28 @@ def save(slam: "SlamSystem", path: str) -> None:
     arrays["tracks_xy"] = (
         np.array(xy_flat, np.float64) if xy_flat else np.zeros((0, 2))
     )
+    arrays["tracks_words"] = np.array(
+        [tt.words.get(t, -1) for t in tids], np.int64
+    )
 
     if slam.enable_loop_closure:
         for name, val in slam.db._asdict().items():
             arrays[f"db_{name}"] = np.asarray(val)
-        if slam.kf_desc:
-            arrays["kf_desc"] = np.stack(slam.kf_desc)
-            arrays["kf_xy"] = np.stack(slam.kf_xy)
-            arrays["kf_mask"] = np.stack(slam.kf_mask)
-            arrays["kf_frame"] = np.array(slam.kf_frame, np.int64)
+        for name, val in slam.pool._asdict().items():
+            arrays[f"pool_{name}"] = np.asarray(val)
+        slots = [k for k, e in enumerate(slam.kf_store) if e is not None]
+        if slots:
+            arrays["kf_slot"] = np.array(slots, np.int64)
+            arrays["kf_frame"] = np.array(
+                [slam.kf_store[k]["frame"] for k in slots], np.int64
+            )
+            arrays["kf_desc"] = np.stack(
+                [slam.kf_store[k]["desc"] for k in slots]
+            )
+            arrays["kf_xy"] = np.stack([slam.kf_store[k]["xy"] for k in slots])
+            arrays["kf_mask"] = np.stack(
+                [slam.kf_store[k]["mask"] for k in slots]
+            )
 
     np.savez_compressed(os.path.join(path, "state.npz"), **arrays)
     meta = {
@@ -79,6 +93,8 @@ def save(slam: "SlamSystem", path: str) -> None:
             for e in slam.loop_events
         ],
         "enable_loop_closure": slam.enable_loop_closure,
+        "kf_frames": slam.kf_frames,
+        "last_kf": slam._last_kf,
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -101,6 +117,10 @@ def restore(slam: "SlamSystem", path: str) -> None:
     slam.frame_idx = meta["frame_idx"]
     slam.stats = meta["stats"]
     slam.loop_events = [LoopClosureEvent(**e) for e in meta["loop_events"]]
+    slam.kf_frames = [int(f) for f in meta.get("kf_frames", [0])]
+    slam._last_kf = int(meta.get("last_kf", 0))
+    if "rng_key" in arrays:
+        slam.key = jnp.asarray(arrays["rng_key"])
 
     if "tracker_desc" in arrays:
         slam.state = TrackerState(
@@ -121,9 +141,11 @@ def restore(slam: "SlamSystem", path: str) -> None:
     tt.next_id = meta["next_track_id"]
     tt.observations = {}
     tt.scores = {}
+    tt.words = {}
     pos = 0
-    for tid, n, sc in zip(
-        arrays["tracks_ids"], arrays["tracks_lens"], arrays["tracks_scores"]
+    words = arrays.get("tracks_words")
+    for row, (tid, n, sc) in enumerate(
+        zip(arrays["tracks_ids"], arrays["tracks_lens"], arrays["tracks_scores"])
     ):
         obs = []
         for k in range(n):
@@ -136,16 +158,30 @@ def restore(slam: "SlamSystem", path: str) -> None:
         pos += n
         tt.observations[int(tid)] = obs
         tt.scores[int(tid)] = float(sc)
+        if words is not None and words[row] >= 0:
+            tt.words[int(tid)] = int(words[row])
 
     if meta["enable_loop_closure"] and "db_multihot" in arrays:
+        from ..mapping.feature_pool import DevicePool
+
         slam.db = LoopDatabase(
             **{
                 name: jnp.asarray(arrays[f"db_{name}"])
                 for name in LoopDatabase._fields
             }
         )
-        if "kf_desc" in arrays:
-            slam.kf_desc = [d for d in arrays["kf_desc"]]
-            slam.kf_xy = [d for d in arrays["kf_xy"]]
-            slam.kf_mask = [d for d in arrays["kf_mask"]]
-            slam.kf_frame = [int(f) for f in arrays["kf_frame"]]
+        if "pool_first_seen" in arrays:
+            slam.pool = DevicePool(
+                **{
+                    name: jnp.asarray(arrays[f"pool_{name}"])
+                    for name in DevicePool._fields
+                }
+            )
+        if "kf_slot" in arrays:
+            for row, slot in enumerate(arrays["kf_slot"]):
+                slam.kf_store[int(slot)] = {
+                    "frame": int(arrays["kf_frame"][row]),
+                    "desc": arrays["kf_desc"][row],
+                    "xy": arrays["kf_xy"][row],
+                    "mask": arrays["kf_mask"][row],
+                }

@@ -1,0 +1,126 @@
+"""Worker process for the multi-process jax.distributed BA test.
+
+Launched N times by tests/test_multihost.py with JAX_COORDINATOR_ADDRESS /
+JAX_NUM_PROCESSES / JAX_PROCESS_ID set. Each process owns M virtual CPU
+devices; the global mesh spans N*M devices, so the psum inside
+sharded_bundle_adjust crosses process boundaries over gRPC — the code path
+a DCN-connected pod slice uses (SURVEY.md section 4's prescription for
+testing >=2-host collectives without a pod).
+
+Exit 0 => this process verified sharded == single-device BA.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=4")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def build_problem(num_landmarks=64, num_poses=4):
+    from maveric_slam_tpu.backend import ba
+
+    rng = np.random.default_rng(0)
+    K = np.array(
+        [[370.0, 0.0, 320.0], [0.0, 370.0, 96.0], [0.0, 0.0, 1.0]], np.float32
+    )
+    X = np.stack(
+        [
+            rng.uniform(-8, 8, num_landmarks),
+            rng.uniform(-3, 3, num_landmarks),
+            rng.uniform(8, 30, num_landmarks),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (num_poses, 3, 3)).copy()
+    t = np.stack(
+        [np.array([0.0, 0.0, -0.8 * p], np.float32) for p in range(num_poses)]
+    )
+    p_cam = np.einsum("pij,lj->lpi", R, X) + t[None]
+    uv = np.stack(
+        [
+            K[0, 0] * p_cam[..., 0] / p_cam[..., 2] + K[0, 2],
+            K[1, 1] * p_cam[..., 1] / p_cam[..., 2] + K[1, 2],
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    mask = p_cam[..., 2] > 1.0
+    return ba.BAProblem(K=K, R=R, t=t, X=X + 0.05, uv=uv, mask=mask)
+
+
+def main() -> int:
+    from maveric_slam_tpu.backend import ba
+    from maveric_slam_tpu.parallel import mesh as mesh_lib
+    from maveric_slam_tpu.parallel import sharded_ba
+
+    mesh_lib.maybe_init_distributed()
+    nproc = int(os.environ["JAX_NUM_PROCESSES"])
+    pid = int(os.environ["JAX_PROCESS_ID"])
+    assert jax.process_count() == nproc, jax.process_count()
+    n_dev = len(jax.devices())
+    n_local = len(jax.local_devices())
+    assert n_dev == nproc * n_local, (n_dev, nproc, n_local)
+
+    problem = build_problem()
+
+    # Single-device reference (local computation, no mesh).
+    import jax.numpy as jnp
+
+    local = ba.BAProblem(*[jnp.asarray(x) for x in problem])
+    ref, ref_stats = ba.bundle_adjust(local, iterations=3)
+    ref_R = np.asarray(ref.R)
+    ref_t = np.asarray(ref.t)
+    ref_X = np.asarray(ref.X)
+
+    # Global mesh over every process's devices.
+    mesh = mesh_lib.global_mesh()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def globalize(x, spec):
+        sh = NamedSharding(mesh, spec)
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+
+    ax = mesh_lib.LANDMARK_AXIS
+    gproblem = ba.BAProblem(
+        K=globalize(problem.K, P()),
+        R=globalize(problem.R, P()),
+        t=globalize(problem.t, P()),
+        X=globalize(problem.X, P(ax)),
+        uv=globalize(problem.uv, P(ax)),
+        mask=globalize(problem.mask, P(ax)),
+    )
+    solved, costs = sharded_ba.sharded_bundle_adjust(gproblem, mesh, iterations=3)
+
+    # Replicated outputs: every process holds a full copy in shard 0.
+    costs_np = np.asarray(solved.R.addressable_data(0)), np.asarray(
+        solved.t.addressable_data(0)
+    )
+    R_np, t_np = costs_np
+    cost_curve = np.asarray(costs.addressable_data(0))
+    assert np.isfinite(cost_curve).all(), cost_curve
+    np.testing.assert_allclose(R_np, ref_R, rtol=0, atol=2e-4)
+    np.testing.assert_allclose(t_np, ref_t, rtol=0, atol=2e-3)
+    # Landmark shards: compare each addressable shard against the reference.
+    for shard in solved.X.addressable_shards:
+        sl = shard.index[0]
+        np.testing.assert_allclose(
+            np.asarray(shard.data), ref_X[sl], rtol=0, atol=2e-3
+        )
+    print(
+        f"OK p{pid}: {nproc} processes x {n_local} devices, "
+        f"cost {cost_curve[0]:.4f} -> {cost_curve[-1]:.6f}",
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -103,3 +103,100 @@ class TestMultiHostStyleMesh:
         np.testing.assert_allclose(
             np.asarray(costs), np.asarray(stats.cost[:-1]), rtol=1e-3
         )
+
+
+class TestShardedTracker:
+    def test_sharded_matches_unsharded_streams(self, mesh8):
+        """Stream-sharded tracking must reproduce the vmapped single-device
+        multi-stream step geometrically. Pure data parallelism runs the same
+        math per stream, but the partitioned executable tiles reductions
+        differently (per-device batch 1 vs batch 8), so float results carry
+        ~1e-5 jitter — assert pose equivalence, not bitwise identity."""
+        import dataclasses
+        import os
+
+        import jax.numpy as jnp
+
+        from maveric_slam_tpu.config import DEFAULT_CONFIG
+        from maveric_slam_tpu.data import kitti
+        from maveric_slam_tpu.frontend import tracker as trk
+        from maveric_slam_tpu.models import superpoint as sp
+        from maveric_slam_tpu.parallel import sharded_tracker
+
+        base = "/root/reference/datasets/kitti/sequences/00/image_0"
+        if not os.path.exists(base):
+            pytest.skip("reference dataset not mounted")
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG,
+            ransac=dataclasses.replace(DEFAULT_CONFIG.ransac, num_hypotheses=64),
+        )
+        params = sp.load_params()
+        img0 = kitti.load_frame(f"{base}/000160.png")
+        img1 = kitti.load_frame(f"{base}/000161.png")
+        s = 8
+        imgs0 = jnp.asarray(np.stack([img0] * s))
+        imgs1 = jnp.asarray(np.stack([img1] * s))
+
+        ref_states = trk.init_states_batched(params, imgs0, cfg)
+        ref_states, ref_step = trk.track_step_batched(
+            params, ref_states, imgs1, cfg
+        )
+
+        smesh = sharded_tracker.make_stream_mesh(8)
+        states = trk.init_states_batched(params, imgs0, cfg)
+        states, imgs1_sh = sharded_tracker.shard_streams(states, imgs1, smesh)
+        sparams = sharded_tracker.replicate_params(params, smesh)
+        states, step = sharded_tracker.track_step_sharded(
+            sparams, states, imgs1_sh, cfg
+        )
+        R, Rr = np.asarray(step.R), np.asarray(ref_step.R)
+        t, tr = np.asarray(step.t), np.asarray(ref_step.t)
+        for k in range(s):
+            dR = R[k] @ Rr[k].T
+            ang = np.degrees(
+                np.arccos(np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0))
+            )
+            assert ang < 0.05, (k, ang)
+            cos_t = np.dot(t[k], tr[k]) / (
+                np.linalg.norm(t[k]) * np.linalg.norm(tr[k]) + 1e-12
+            )
+            assert cos_t > 0.99999, (k, cos_t)
+        d_inl = np.abs(
+            np.asarray(step.num_inliers, np.int64)
+            - np.asarray(ref_step.num_inliers, np.int64)
+        )
+        assert d_inl.max() <= 3, d_inl
+
+
+class TestShardedLCD:
+    def test_sharded_query_matches_single_device(self, mesh8):
+        import jax.numpy as jnp
+
+        from maveric_slam_tpu.loopclosure import lcd, sharded_lcd
+        from maveric_slam_tpu.parallel import mesh as mesh_lib
+
+        rng = np.random.default_rng(23)
+        cap, vocab = 64, 2048
+        db = lcd.create_database(cap, vocab)
+        sets = []
+        for f in range(cap + 9):  # wraps the ring
+            ids = rng.choice(vocab, 64, replace=False).astype(np.int32)
+            sets.append(ids)
+            db = lcd.add_frame(db, jnp.asarray(ids), jnp.int32(f))
+
+        lmesh = mesh_lib.make_mesh(8, axis=sharded_lcd.FRAME_AXIS)
+        ldb = sharded_lcd.shard_database(db, lmesh)
+        for probe in (cap - 1, cap + 3, 20):
+            q = jnp.asarray(sets[probe])
+            ref = lcd.query(
+                db, q, jnp.int32(cap + 9), min_frame_gap=4, min_score=0.2
+            )
+            got = sharded_lcd.sharded_query(
+                ldb, q, lmesh, jnp.int32(cap + 9),
+                min_frame_gap=4, min_score=0.2,
+            )
+            assert int(got.best_frame) == int(ref.best_frame)
+            assert int(got.best) == int(ref.best)
+            np.testing.assert_allclose(
+                float(got.best_score), float(ref.best_score), atol=1e-6
+            )

@@ -49,6 +49,33 @@ class TestSlamWithBA:
         assert len(tracks) > 20, len(tracks)
 
 
+class TestBAEarnsItsPlace:
+    def test_ba_strictly_improves_ate_and_rotation(self, params, frames):
+        """Window BA must measurably beat raw odometry on the same frames
+        (the reference's BA is a skeleton on synthetic Jacobians that never
+        touches a trajectory — local_bundle_adjustment.c:90-96)."""
+        def run(ba_every):
+            slam = SlamSystem(
+                params, DEFAULT_CONFIG, ba_every=ba_every,
+                enable_loop_closure=False,
+            )
+            for f in range(160, 170):
+                slam.process(frames[f])
+            return slam.trajectory()
+
+        gt = kitti.read_poses(GT)[160:170]
+        no_ba = run(0)
+        with_ba = run(4)
+        ate_no = evaluation.ate(no_ba, gt)["ate_rmse"]
+        ate_ba = evaluation.ate(with_ba, gt)["ate_rmse"]
+        rot_no = evaluation.rpe(no_ba, gt)["rpe_rot_deg_mean"]
+        rot_ba = evaluation.rpe(with_ba, gt)["rpe_rot_deg_mean"]
+        assert ate_ba < ate_no, (ate_ba, ate_no)
+        assert rot_ba < rot_no, (rot_ba, rot_no)
+        # And not by luck: a real margin.
+        assert ate_ba < 0.92 * ate_no, (ate_ba, ate_no)
+
+
 class TestLoopClosure:
     def test_detects_revisit(self, params, frames):
         # Drive through 160..169, then revisit 160..164: the revisit frames
@@ -57,6 +84,11 @@ class TestLoopClosure:
             DEFAULT_CONFIG,
             loop=dataclasses.replace(
                 DEFAULT_CONFIG.loop, min_frame_gap=6, min_score=0.2
+            ),
+            # Keyframe every frame: the 15-frame sequence is too short for
+            # the interval/ratio policy to leave enough keyframes.
+            keyframe=dataclasses.replace(
+                DEFAULT_CONFIG.keyframe, max_interval=1
             ),
         )
         slam = SlamSystem(params, cfg, ba_every=0, enable_loop_closure=True)
