@@ -28,6 +28,13 @@ def main() -> None:
     parser.add_argument("--gt", default=None, help="KITTI GT pose file")
     parser.add_argument("--gt-offset", type=int, default=0)
     parser.add_argument("--checkpoint", default=None, help="save state here")
+    parser.add_argument(
+        "--checkpoint-every",
+        type=int,
+        default=0,
+        help="also checkpoint every N frames during the run (crash-safe: "
+        "a kill mid-save leaves the previous checkpoint intact)",
+    )
     parser.add_argument("--resume", default=None, help="restore state first")
     parser.add_argument("--plot", action="store_true")
     args = parser.parse_args()
@@ -65,6 +72,12 @@ def main() -> None:
     n = len(seq) if args.max_frames is None else min(len(seq), args.max_frames)
     for i in range(start, n):
         slam.process(seq[i])
+        if (
+            args.checkpoint
+            and args.checkpoint_every
+            and (i + 1) % args.checkpoint_every == 0
+        ):
+            checkpoint.save(slam, args.checkpoint)
         if slam.stats and i % 10 == 0:
             s = slam.stats[-1]
             print(

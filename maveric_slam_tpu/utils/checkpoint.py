@@ -9,6 +9,12 @@ resumes mid-sequence with identical downstream results.
 
 Format: one .npz for array state + one JSON for scalars/metadata. (Small
 state; orbax would be overkill and ties the format to its layout rules.)
+
+Crash consistency: the array file is written under a per-frame name first
+and meta.json — which names it — is committed last via an atomic
+os.replace. A SIGKILL at any instant leaves either the previous complete
+checkpoint or the new complete checkpoint, never a torn one
+(tests/test_fault_injection.py kills a live run mid-sequence to prove it).
 """
 
 from __future__ import annotations
@@ -78,8 +84,10 @@ def save(slam: "SlamSystem", path: str) -> None:
                 [slam.kf_store[k]["mask"] for k in slots]
             )
 
-    np.savez_compressed(os.path.join(path, "state.npz"), **arrays)
+    state_file = f"state_{slam.frame_idx:08d}.npz"
+    np.savez_compressed(os.path.join(path, state_file), **arrays)
     meta = {
+        "state_file": state_file,
         "frame_idx": slam.frame_idx,
         "next_track_id": tt.next_id,
         "stats": slam.stats,
@@ -96,8 +104,17 @@ def save(slam: "SlamSystem", path: str) -> None:
         "kf_frames": slam.kf_frames,
         "last_kf": slam._last_kf,
     }
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    # Commit point: meta.json names the (already fully written) state file.
+    tmp = os.path.join(path, ".meta.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "meta.json"))
+    # GC superseded state files (crash here just leaves an orphan).
+    for name in os.listdir(path):
+        if name.startswith("state_") and name != state_file:
+            os.remove(os.path.join(path, name))
 
 
 def restore(slam: "SlamSystem", path: str) -> None:
@@ -109,10 +126,10 @@ def restore(slam: "SlamSystem", path: str) -> None:
     from ..slam import LoopClosureEvent
     from ..tracks import Observation
 
-    with np.load(os.path.join(path, "state.npz")) as z:
-        arrays = dict(z)
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    with np.load(os.path.join(path, meta.get("state_file", "state.npz"))) as z:
+        arrays = dict(z)
 
     slam.frame_idx = meta["frame_idx"]
     slam.stats = meta["stats"]
