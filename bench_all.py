@@ -1,0 +1,279 @@
+#!/usr/bin/env python
+"""Benchmark every BASELINE.json workload on the live accelerator.
+
+The five named configs (BASELINE.json "configs"):
+
+1. pairwise_pnp  — full golden pairwise pipeline between two KITTI frames
+                   (reference: scripts/run_pairwise_pnp.sh).
+2. tracking      — quantized frame-to-frame tracking loop (tracking_main);
+                   same measurement as bench.py's headline.
+3. window_ba     — sliding-window Schur BA at the 1024 landmarks x 8 poses
+                   envelope plus pose-graph relinearization factors
+                   (reference measured region:
+                   src/local_bundle_adjustment.c:153, src/run_relin.c).
+4. bow_lcd       — BoW word assignment (100 features) + whole-database
+                   loop-closure query at 4096 stored frames
+                   (src/bow_main.c, src/lcd_main.c:52).
+5. multihost_ba  — landmark-sharded BA over an 8-device mesh with psum
+                   Schur reduction; runs in a CPU subprocess (the only
+                   multi-device mesh available in CI — see SCALING.md for
+                   why virtual-device wall-clock is a correctness/structure
+                   check, not a speedup measurement).
+
+Prints one JSON line per workload and writes BENCH_ALL.json.
+`python bench_all.py --skip-multihost` omits workload 5.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+BASE = "/root/reference/datasets/kitti/sequences/00/image_0"
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _timeit(fn, iters=50, warmup=2):
+    """Median-of-runs seconds per call; fn must block on device results."""
+    import jax
+
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(out)
+        runs.append((time.perf_counter() - t0) / iters)
+    return float(np.median(runs))
+
+
+def bench_pairwise(params, frames, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from maveric_slam_tpu.frontend import pairwise
+
+    img0 = jax.device_put(jnp.asarray(frames[0]))
+    img1 = jax.device_put(jnp.asarray(frames[1]))
+    keys = jax.random.split(jax.random.PRNGKey(0), 64)
+    k = iter(np.arange(1 << 20))
+
+    def run():
+        return pairwise.pairwise_pose(
+            params, img0, img1, cfg, key=keys[next(k) % 64]
+        ).t
+
+    sec = _timeit(run, iters=30)
+    return {
+        "metric": "pairwise_pnp_pairs_per_s",
+        "value": round(1.0 / sec, 2),
+        "unit": "pairs/s",
+        "ms_per_pair": round(sec * 1e3, 3),
+    }
+
+
+def bench_tracking(params, frames, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from maveric_slam_tpu.frontend import tracker as trk
+
+    dev = [jax.device_put(jnp.asarray(f)) for f in frames]
+    state = trk.init_state(params, dev[0], cfg)
+    state, step = trk.track_step(params, state, dev[1], cfg)
+    jax.block_until_ready(step.t)
+    n, t0 = 0, time.perf_counter()
+    for _ in range(5):
+        for img in dev[1:]:
+            state, step = trk.track_step(params, state, img, cfg)
+            n += 1
+    jax.block_until_ready(step.t)
+    fps = n / (time.perf_counter() - t0)
+    return {
+        "metric": "tracked_frames_per_s_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+    }
+
+
+def bench_window_ba():
+    from functools import partial
+
+    import jax
+
+    from maveric_slam_tpu.backend import ba, relin
+
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from scaling_bench import build_problem
+
+    L, P, iters = 1024, 8, 10
+    problem = jax.tree.map(jax.device_put, build_problem(L, P))
+    solve = jax.jit(partial(ba.bundle_adjust, iterations=iters))
+
+    def run():
+        solved, stats = solve(problem)
+        return stats.cost
+
+    sec = _timeit(run, iters=20)
+
+    # Relinearization: batched between-factor residual+Jacobians, the
+    # run_relin.c workload (256 pose-graph factors per call).
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    F = 256
+    w = rng.normal(size=(F, 3)) * 0.1
+    from maveric_slam_tpu.ops import lie
+
+    R_i = jax.vmap(lie.so3_exp)(jnp.asarray(w, jnp.float32))
+    t_i = jnp.asarray(rng.normal(size=(F, 3)), jnp.float32)
+    R_j = jax.vmap(lie.so3_exp)(jnp.asarray(-w * 0.5, jnp.float32))
+    t_j = t_i + 0.1
+    relin_fn = jax.jit(relin.between_residual_jacobians)
+
+    def run_relin():
+        return relin_fn(R_i, t_i, R_j, t_j, R_i, t_i)[1]
+
+    relin_sec = _timeit(run_relin, iters=50)
+    return {
+        "metric": "window_ba_ms_per_iteration",
+        "value": round(sec * 1e3 / iters, 3),
+        "unit": f"ms/iter at {L}x{P}",
+        "landmark_iters_per_s": round(L * iters / sec, 0),
+        "relin_factors_per_s": round(F / relin_sec, 0),
+    }
+
+
+def bench_bow_lcd(params, frames, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from maveric_slam_tpu.frontend import extractor
+    from maveric_slam_tpu.loopclosure import lcd, vocab as vocab_lib
+
+    vocab = vocab_lib.load_reference_vocabulary()
+    feats = extractor.extract_quantized(
+        params, jax.device_put(jnp.asarray(frames[0])), cfg
+    )
+    n_top = cfg.loop.top_n_features
+    desc = feats.desc_q.reshape(-1, 256)[:n_top]
+    mask = jnp.ones((n_top,), bool)
+    assign = jax.jit(vocab_lib.assign_words, static_argnames=("positive_gate",))
+
+    def run_assign():
+        return assign(desc, feats.desc_scale, mask, vocab).word_id
+
+    assign_sec = _timeit(run_assign, iters=50)
+
+    # Whole-database query at full 4096-frame capacity.
+    cap = cfg.loop.max_db_frames
+    db = lcd.create_database(cap, cfg.loop.vocab_size)
+    rng = np.random.default_rng(7)
+    rows = jnp.asarray(
+        rng.integers(0, cfg.loop.vocab_size, (cap, 64), dtype=np.int32)
+    )
+    add = jax.jit(lcd.add_frame)
+    for f in range(cap):
+        db = add(db, rows[f], jnp.int32(f))
+    jax.block_until_ready(db.multihot)
+    q = rows[cap // 2]
+    query = jax.jit(lcd.query, static_argnames=("min_frame_gap", "min_score"))
+
+    def run_query():
+        return query(db, q, jnp.int32(cap), min_frame_gap=50, min_score=0.05).best_score
+
+    query_sec = _timeit(run_query, iters=50)
+    return {
+        "metric": "lcd_queries_per_s",
+        "value": round(1.0 / query_sec, 0),
+        "unit": f"queries/s vs {cap} stored frames",
+        "assign_us_per_frame": round(assign_sec * 1e6, 1),
+        "query_us": round(query_sec * 1e6, 1),
+    }
+
+
+def bench_multihost_ba():
+    """Sharded BA per-iteration on the 8-device virtual mesh (subprocess:
+    the TPU process must not also grab CPU collectives state)."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update(
+        {
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+            "PYTHONPATH": _REPO,
+        }
+    )
+    code = (
+        "import sys, json, time, numpy as np, jax;"
+        "sys.path.insert(0, 'tools');"
+        "from scaling_bench import build_problem, time_mesh;"
+        "p = build_problem(65536, 8);"
+        "t, _ = time_mesh(p, 8, iterations=4);"
+        "print(json.dumps({'ms_per_iter': round(t*1e3, 2)}))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=_REPO,
+    )
+    if out.returncode != 0:
+        return {
+            "metric": "multihost_ba_ms_per_iteration",
+            "value": None,
+            "error": out.stderr[-500:],
+        }
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    return {
+        "metric": "multihost_ba_ms_per_iteration",
+        "value": r["ms_per_iter"],
+        "unit": "ms/iter, 65536x8 over 8-device mesh (virtual CPU)",
+        "see": "SCALING.md",
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-multihost", action="store_true")
+    args = ap.parse_args()
+
+    from maveric_slam_tpu.config import DEFAULT_CONFIG
+    from maveric_slam_tpu.data import kitti
+    from maveric_slam_tpu.models import superpoint as sp
+
+    params = sp.load_params()
+    frames = [
+        kitti.load_frame(os.path.join(BASE, f"{f:06d}.png"))
+        for f in range(160, 170)
+    ]
+
+    results = [
+        bench_pairwise(params, frames, DEFAULT_CONFIG),
+        bench_tracking(params, frames, DEFAULT_CONFIG),
+        bench_window_ba(),
+        bench_bow_lcd(params, frames, DEFAULT_CONFIG),
+    ]
+    if not args.skip_multihost:
+        results.append(bench_multihost_ba())
+
+    import jax
+
+    report = {"backend": jax.default_backend(), "results": results}
+    for r in results:
+        print(json.dumps(r))
+    with open(os.path.join(_REPO, "BENCH_ALL.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
