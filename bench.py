@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 
-def measure_tracker_fps(frames, rounds=5):
+def measure_tracker_fps(frames, rounds=12):
     import jax
 
     from maveric_slam_tpu.config import DEFAULT_CONFIG
@@ -52,6 +52,35 @@ def measure_tracker_fps(frames, rounds=5):
     jax.block_until_ready(step.t)
     dt = time.perf_counter() - t0
     return n_steps / dt
+
+
+def measure_multistream_fps(frames, streams=16, rounds=16):
+    """Aggregate tracked frames/s over S independent streams per chip
+    (production serving mode, frontend/tracker.py track_step_batched)."""
+    import jax
+    import jax.numpy as jnp
+
+    from maveric_slam_tpu.config import DEFAULT_CONFIG
+    from maveric_slam_tpu.frontend import tracker as trk
+    from maveric_slam_tpu.models import superpoint as sp
+
+    params = sp.load_params()
+    dev = [jax.device_put(jnp.asarray(f)) for f in frames]
+    first = jnp.stack([dev[i % len(dev)] for i in range(streams)])
+    states = trk.init_states_batched(params, first, DEFAULT_CONFIG)
+    batch = jnp.stack([dev[(i + 1) % len(dev)] for i in range(streams)])
+    states, res = trk.track_step_batched(params, states, batch, DEFAULT_CONFIG)
+    jax.block_until_ready(res.t)
+    n = 0
+    t0 = time.perf_counter()
+    for r in range(rounds):
+        batch = jnp.stack([dev[(i + r) % len(dev)] for i in range(streams)])
+        states, res = trk.track_step_batched(
+            params, states, batch, DEFAULT_CONFIG
+        )
+        n += streams
+    jax.block_until_ready(res.t)
+    return n / (time.perf_counter() - t0)
 
 
 def measure_torch_baseline_fps(frames, iters=10):
@@ -114,6 +143,11 @@ def main():
 
     fps = measure_tracker_fps(frames)
     try:
+        agg_fps = measure_multistream_fps(frames, streams=16)
+    except Exception as e:  # noqa: BLE001 — secondary metric
+        print(f"multistream measurement failed: {e}", file=sys.stderr)
+        agg_fps = float("nan")
+    try:
         baseline_fps = measure_torch_baseline_fps(frames)
     except Exception as e:  # noqa: BLE001 — baseline is best-effort
         print(f"baseline measurement failed: {e}", file=sys.stderr)
@@ -127,6 +161,9 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(fps / baseline_fps, 3)
                 if baseline_fps == baseline_fps
+                else None,
+                "aggregate_fps_16_streams": round(agg_fps, 1)
+                if agg_fps == agg_fps
                 else None,
             }
         )

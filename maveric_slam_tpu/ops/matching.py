@@ -31,7 +31,7 @@ class WindowedMatches(NamedTuple):
     num_matches: jnp.ndarray  # () int32
 
 
-@partial(jax.jit, static_argnames=("grid_h", "grid_w", "radius", "match_threshold", "min_prob", "signed"))
+@partial(jax.jit, static_argnames=("grid_h", "grid_w", "shift", "radius", "match_threshold", "min_prob", "signed"))
 def windowed_match(
     desc0: jnp.ndarray,  # (Hc*Wc, 256) int8, frame0 descriptors (row-major cells)
     probs0: jnp.ndarray,  # (Hc*Wc,) float32 frame0 cell probabilities
@@ -64,39 +64,52 @@ def windowed_match(
     n = cells1.shape[0]
     num_cells = grid_h * grid_w
 
-    q1 = desc1[cells1].astype(jnp.int32)  # (N, 256)
-    d0 = desc0.astype(jnp.int32)  # (C, 256)
+    if jax.default_backend() == "tpu":
+        # Fused Mosaic kernel: dots + norms + window mask + argmax in one
+        # VMEM-resident pass; scores are bit-identical to the jnp path (the
+        # int8 dot fits f32's exact-integer range: 127*127*256 < 2^24), see
+        # tests/test_pallas_kernels.py::TestFusedMatch.
+        from .pallas_kernels import fused_windowed_match
 
-    # One MXU matmul for every (query, cell) pair.
-    dots = jax.lax.dot_general(
-        desc1[cells1],
-        desc0.T,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)  # (N, C)
+        best_score, best_cell = fused_windowed_match(
+            desc1[cells1], desc0, probs0, indices0, cells1,
+            grid_h=grid_h, grid_w=grid_w, shift=shift, radius=radius,
+            min_prob=min_prob, signed=signed,
+        )
+    else:
+        q1 = desc1[cells1].astype(jnp.int32)  # (N, 256)
+        d0 = desc0.astype(jnp.int32)  # (C, 256)
 
-    n1 = jnp.sum(q1 * q1, axis=-1).astype(jnp.float32)  # (N,)
-    n0 = jnp.sum(d0 * d0, axis=-1).astype(jnp.float32)  # (C,)
-    denom = jnp.maximum(n1[:, None] * n0[None, :], 1.0)
-    cos2 = dots * dots / denom
-    if signed:
-        cos2 = jnp.where(dots > 0, cos2, 0.0)
+        # One MXU matmul for every (query, cell) pair.
+        dots = jax.lax.dot_general(
+            desc1[cells1],
+            desc0.T,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # (N, C)
 
-    # Window mask in grid coordinates.
-    row1 = (cells1 // grid_w)[:, None]  # (N, 1)
-    col1 = (cells1 % grid_w)[:, None]
-    cell_ids = jnp.arange(num_cells)
-    row0 = (cell_ids // grid_w)[None, :]  # (1, C)
-    col0 = (cell_ids % grid_w)[None, :]
-    in_window = (
-        (jnp.abs(row0 - (row1 + shift[1])) <= radius)
-        & (jnp.abs(col0 - (col1 + shift[0])) <= radius)
-    )
-    cell_ok = (indices0 != 64) & (probs0 >= min_prob)
-    score = jnp.where(in_window & cell_ok[None, :], cos2, -1.0)
+        n1 = jnp.sum(q1 * q1, axis=-1).astype(jnp.float32)  # (N,)
+        n0 = jnp.sum(d0 * d0, axis=-1).astype(jnp.float32)  # (C,)
+        denom = jnp.maximum(n1[:, None] * n0[None, :], 1.0)
+        cos2 = dots * dots / denom
+        if signed:
+            cos2 = jnp.where(dots > 0, cos2, 0.0)
 
-    best_cell = jnp.argmax(score, axis=-1).astype(jnp.int32)  # (N,)
-    best_score = jnp.take_along_axis(score, best_cell[:, None], axis=-1)[:, 0]
+        # Window mask in grid coordinates.
+        row1 = (cells1 // grid_w)[:, None]  # (N, 1)
+        col1 = (cells1 % grid_w)[:, None]
+        cell_ids = jnp.arange(num_cells)
+        row0 = (cell_ids // grid_w)[None, :]  # (1, C)
+        col0 = (cell_ids % grid_w)[None, :]
+        in_window = (
+            (jnp.abs(row0 - (row1 + shift[1])) <= radius)
+            & (jnp.abs(col0 - (col1 + shift[0])) <= radius)
+        )
+        cell_ok = (indices0 != 64) & (probs0 >= min_prob)
+        score = jnp.where(in_window & cell_ok[None, :], cos2, -1.0)
+
+        best_cell = jnp.argmax(score, axis=-1).astype(jnp.int32)  # (N,)
+        best_score = jnp.take_along_axis(score, best_cell[:, None], axis=-1)[:, 0]
     matched = mask1 & (best_score > match_threshold**2)
 
     # Pixel coordinates: sub-pixel per-cell maps when provided, else the

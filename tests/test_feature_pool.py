@@ -6,6 +6,8 @@ each with controlled overlap, invariant check per frame) and its runtime
 invariant checker (include/local_feature_pool.h:279-336).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -140,3 +142,33 @@ class TestDevicePool:
             dpool, np.array([3, 3, 3], np.int32), np.int32(0)
         )
         assert int(np.asarray(dpool.num_sightings)[3]) == 1
+
+
+class TestSanitizerBuild:
+    def test_pool_stress_under_asan_ubsan(self):
+        """Build and run the native stress driver under ASan+UBSan.
+
+        The memory-safety check the reference build never had (its analogue
+        is the unsanitized driver src/local_feature_matching.c:129-173).
+        5000 adversarial frames + full-capacity/age-out edge cases; any
+        heap error, UB, or leak fails the binary (-fno-sanitize-recover +
+        LeakSanitizer on exit).
+        """
+        import subprocess
+
+        native = os.path.join(
+            os.path.dirname(__file__), "..", "maveric_slam_tpu", "runtime", "native"
+        )
+        build = subprocess.run(
+            ["make", "-s", "-C", native, "pool_stress_asan"],
+            capture_output=True, text=True,
+        )
+        if build.returncode != 0 and "sanitize" in (build.stderr or "").lower():
+            pytest.skip(f"toolchain lacks sanitizers: {build.stderr[:200]}")
+        assert build.returncode == 0, build.stderr
+        run = subprocess.run(
+            [os.path.join(native, "pool_stress_asan")],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert run.returncode == 0, run.stdout + run.stderr
+        assert "pool_stress: OK" in run.stdout
