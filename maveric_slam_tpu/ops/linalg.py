@@ -185,6 +185,14 @@ def smallest_eigvec_inverse_iteration(
     and fast to compile (measured: the Jacobi/eigh alternatives cost
     minutes of XLA compile inside the fused RANSAC program).
     """
+    if jax.default_backend() == "tpu":
+        # Single-launch Mosaic kernel (same arithmetic, component-major):
+        # as jnp the recurrence compiles to ~350 HLO ops whose chain XLA
+        # splits into hundreds of micro-fusions; the tracking tail becomes
+        # launch-bound (see ops/pallas_kernels.py).
+        from .pallas_kernels import nullspace_inverse_iteration
+
+        return nullspace_inverse_iteration(A, iterations=iterations)
     n = A.shape[-1]
     tr = jnp.trace(A, axis1=-2, axis2=-1)
     delta = 1e-7 * jnp.maximum(tr, 1e-30) / n

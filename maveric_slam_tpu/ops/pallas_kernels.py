@@ -1,15 +1,25 @@
-"""Pallas TPU kernels for the feature-frontend hot loop.
+"""Pallas TPU kernels for the per-frame hot loop.
 
-Hand-fused kernels for the detector post-processing that the reference runs
-as scalar C loops (src/top_N.c) and that the jnp path expresses as several
-XLA ops. One VMEM-resident pass computes, per cell: the approximate Taylor
-softmax with negative-logit skipping, the winning channel + probability,
-and the 3x3-neighborhood soft-argmax sub-pixel keypoint — the whole
-(1920, 65) grid lives in ~128 KB of VMEM, so the kernel is a single block
-with zero HBM round-trips between stages.
+Hand-fused kernels for two different bottlenecks:
 
-The jnp implementations in ops.softmax_topn remain the reference/CPU path;
-tests assert bit-level agreement (same f32 ops in the same order).
+- The detector post-processing that the reference runs as scalar C loops
+  (src/top_N.c) and that the jnp path expresses as several XLA ops: one
+  VMEM-resident pass computes, per cell, the approximate Taylor softmax
+  with negative-logit skipping, the winning channel + probability, and the
+  3x3-neighborhood soft-argmax sub-pixel keypoint.
+- The tiny-matrix linear algebra inside RANSAC (the 8-point nullspace
+  solve the reference stubbed out entirely, src/pnp_solver.c:56-85): as
+  jnp, the unrolled Cholesky + inverse-iteration recurrence compiles to
+  ~350 HLO instructions whose dependency chain XLA splits into hundreds of
+  micro-fusions — the tracking tail becomes kernel-LAUNCH bound, not
+  compute bound. The Pallas version runs the whole recurrence inside ONE
+  kernel in component-major layout ((n*n, B): each of the n^2 matrix
+  entries is a full 128-lane vector over the batch), so the serial scalar
+  chain becomes a single launch of pure VPU work.
+
+The jnp implementations (ops.softmax_topn, ops.linalg) remain the
+reference/CPU path; tests assert agreement (bit-level for the detector,
+same-arithmetic tolerance for the solvers).
 """
 
 from __future__ import annotations
@@ -18,6 +28,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -197,3 +208,85 @@ def fused_windowed_match(
         cells1[:, None].astype(jnp.int32),
     )
     return score[:, 0], best[:, 0]
+
+
+# --------------------------------------------------------------------------- #
+# Batched tiny-matrix solvers (component-major, single kernel launch)
+# --------------------------------------------------------------------------- #
+
+def _nullspace_kernel(ata_ref, x_ref, *, n, iters):
+    """Smallest eigenvector of B symmetric PSD n x n matrices.
+
+    ata_ref: (n*n, B) component-major; x_ref out: (n, B). Same arithmetic as
+    ops.linalg.smallest_eigvec_inverse_iteration (unrolled Cholesky of the
+    trace-shifted matrix + `iters` solve/normalize rounds), with each matrix
+    component a (1, B) lane vector, so every scalar line of the recurrence
+    is one VPU op over the whole batch and the entire solve is one launch.
+    """
+    A = [
+        [ata_ref[i * n + j : i * n + j + 1, :] for j in range(n)]
+        for i in range(n)
+    ]
+    tr = A[0][0]
+    for i in range(1, n):
+        tr = tr + A[i][i]
+    delta = 1e-7 * jnp.maximum(tr, 1e-30) / n
+
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[i][j] + delta if i == j else A[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+
+    x = [jnp.full_like(tr, 1.0 / (n**0.5)) for _ in range(n)]
+    for _ in range(iters):
+        y = [None] * n
+        for i in range(n):
+            s = x[i]
+            for k in range(i):
+                s = s - L[i][k] * y[k]
+            y[i] = s / L[i][i]
+        z = [None] * n
+        for i in range(n - 1, -1, -1):
+            s = y[i]
+            for k in range(i + 1, n):
+                s = s - L[k][i] * z[k]
+            z[i] = s / L[i][i]
+        nrm2 = z[0] * z[0]
+        for i in range(1, n):
+            nrm2 = nrm2 + z[i] * z[i]
+        inv = 1.0 / jnp.maximum(jnp.sqrt(nrm2), 1e-30)
+        x = [zi * inv for zi in z]
+
+    for i in range(n):
+        x_ref[i : i + 1, :] = x[i]
+
+
+@partial(jax.jit, static_argnames=("iterations", "interpret"))
+def nullspace_inverse_iteration(
+    AtA: jnp.ndarray,  # (..., n, n) symmetric PSD
+    iterations: int = 10,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Single-launch batched smallest-eigenvector solve (see kernel doc).
+
+    Returns (..., n) unit vectors; same algorithm/constants as
+    ops.linalg.smallest_eigvec_inverse_iteration (which stays the CPU path).
+    """
+    n = AtA.shape[-1]
+    batch = AtA.shape[:-2]
+    b = int(np.prod(batch)) if batch else 1
+    a2 = jnp.transpose(AtA.reshape(b, n * n))  # (n*n, B) component-major
+    out = pl.pallas_call(
+        partial(_nullspace_kernel, n=n, iters=iterations),
+        out_shape=jax.ShapeDtypeStruct((n, b), AtA.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a2)
+    return jnp.transpose(out).reshape(batch + (n,))

@@ -1,6 +1,8 @@
 """Pallas kernels vs their jnp reference implementations (interpret mode on
 CPU; the same kernels compile natively on TPU)."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -71,3 +73,41 @@ class TestFusedMatch:
         np.testing.assert_array_equal(
             np.asarray(best_p)[matched], np.asarray(ref.cell0)[matched]
         )
+
+
+class TestNullspaceKernel:
+    def test_matches_jnp_reference(self):
+        from maveric_slam_tpu.ops.linalg import (
+            smallest_eigvec_inverse_iteration,
+        )
+
+        rng = np.random.default_rng(0)
+        for shape in [(256, 9, 9), (3, 9, 9), (150, 4, 4), (16, 32, 9, 9)]:
+            A = rng.normal(size=shape).astype(np.float32)
+            A = np.einsum("...ij,...kj->...ik", A, A)
+            ref = np.asarray(smallest_eigvec_inverse_iteration(A))
+            got = np.asarray(
+                pallas_kernels.nullspace_inverse_iteration(A, interpret=True)
+            )
+            # Eigenvector sign is arbitrary; align before comparing.
+            s = np.sign(np.sum(ref * got, axis=-1, keepdims=True))
+            np.testing.assert_allclose(got * s, ref, atol=1e-4)
+
+    def test_vmap(self):
+        from maveric_slam_tpu.ops.linalg import (
+            smallest_eigvec_inverse_iteration,
+        )
+
+        rng = np.random.default_rng(1)
+        A = rng.normal(size=(4, 64, 9, 9)).astype(np.float32)
+        A = np.einsum("...ij,...kj->...ik", A, A)
+        got = np.asarray(
+            jax.vmap(
+                lambda a: pallas_kernels.nullspace_inverse_iteration(
+                    a, interpret=True
+                )
+            )(jnp.asarray(A))
+        )
+        ref = np.asarray(smallest_eigvec_inverse_iteration(A))
+        s = np.sign(np.sum(ref * got, axis=-1, keepdims=True))
+        np.testing.assert_allclose(got * s, ref, atol=1e-4)
