@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.lie import se3_exp
+from ..ops.linalg import cholesky_small, cholesky_solve_small
 from . import projection
 
 
@@ -50,7 +51,10 @@ def refine_pose(
         H = jnp.einsum("nki,n,nkj->ij", J_pose, w, J_pose)
         b = -jnp.einsum("nki,n,nk->i", J_pose, w, r)
         H = H + damping * jnp.eye(6, dtype=H.dtype)
-        xi = jnp.linalg.solve(H, b)
+        # Damped GN H is SPD: unrolled 6x6 Cholesky (straight-line VPU ops)
+        # instead of jnp.linalg.solve's LU, which lowers to a long
+        # sequential chain inside this device loop.
+        xi = cholesky_solve_small(cholesky_small(H), b)
         dR, dt = se3_exp(xi)
         # Left-multiplicative update: T <- exp(xi) T.
         R_new = dR @ R

@@ -49,11 +49,20 @@ def load_params(path: str | None = None) -> Params:
     `{name}_wscale`/`{name}_oscale` scalars; plus `input_scale`.
     """
     raw = np.load(path or _DEFAULT_WEIGHTS)
+    # int8 carrier dtype for the quantized path (see superpoint_int8): the
+    # conversion is done ONCE here — converting inside the jitted step costs
+    # a convert + layout copy of every weight tensor per frame.
+    carrier = (
+        jnp.bfloat16
+        if jax.default_backend() in ("tpu", "axon")
+        else jnp.float32
+    )
     params: Params = {"input_scale": jnp.float32(raw["input_scale"])}
     for name in LAYERS:
         w_oihw = raw[f"{name}_w"]  # (O, I, KH, KW) int8
         w_hwio = np.transpose(w_oihw, (2, 3, 1, 0))
         params[f"{name}_w"] = jnp.asarray(w_hwio, jnp.int8)
+        params[f"{name}_wq"] = jnp.asarray(w_hwio.astype(np.float32), carrier)
         params[f"{name}_wf"] = jnp.asarray(
             w_hwio.astype(np.float32) * raw[f"{name}_wscale"]
         )
@@ -206,7 +215,10 @@ def superpoint_int8(params: Params, images: jnp.ndarray):
     x = jnp.clip(jnp.round(images[..., None] / s), -128, 127).astype(carrier)
 
     def qconv(x, name, in_scale, relu):
-        acc = _conv(x, params[f"{name}_w"].astype(carrier), jnp.float32)
+        wq = params.get(f"{name}_wq")
+        if wq is None or wq.dtype != carrier:  # params from an old dump
+            wq = params[f"{name}_w"].astype(carrier)
+        acc = _conv(x, wq, jnp.float32)
         q = _requant(
             acc,
             in_scale,

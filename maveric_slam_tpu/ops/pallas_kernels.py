@@ -290,3 +290,168 @@ def nullspace_inverse_iteration(
         interpret=interpret,
     )(a2)
     return jnp.transpose(out).reshape(batch + (n,))
+
+
+def _svd3_kernel(a_ref, u_ref, s_ref, v_ref, *, sweeps):
+    """Signed 3x3 SVD of B matrices, component-major ((9, B) in/out).
+
+    Same algorithm as ops.svd3.svd3 (fixed-sweep Jacobi eigenanalysis of
+    A^T A + explicit orthonormal U reconstruction), with every matrix entry
+    a (1, B) lane vector so the whole decomposition is one kernel launch.
+    The Givens rotations touch only rows/columns (p, q) — two fused
+    multiply-adds per affected entry instead of the jnp path's full 3x3
+    matmuls — and all branches are lane-wise selects.
+    """
+    eps = 1e-12
+    gamma = 3.0 + 2.0 * (2.0**0.5)
+    cos_pi8 = float(np.cos(np.pi / 8.0))
+    sin_pi8 = float(np.sin(np.pi / 8.0))
+
+    A = [[a_ref[i * 3 + j : i * 3 + j + 1, :] for j in range(3)] for i in range(3)]
+
+    # S = A^T A (symmetric).
+    S = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            S[i][j] = A[0][i] * A[0][j] + A[1][i] * A[1][j] + A[2][i] * A[2][j]
+    one = jnp.ones_like(S[0][0])
+    zero = jnp.zeros_like(S[0][0])
+    V = [[one if i == j else zero for j in range(3)] for i in range(3)]
+
+    def jacobi(S, V, p, q):
+        app, aqq, apq = S[p][p], S[q][q], S[p][q]
+        ch = 2.0 * (app - aqq)
+        sh = apq
+        use_big = gamma * sh * sh < ch * ch
+        w = jnp.where(
+            use_big, 1.0 / jnp.sqrt(jnp.maximum(ch * ch + sh * sh, eps)), zero
+        )
+        ch_h = jnp.where(use_big, w * ch, cos_pi8)
+        sh_h = jnp.where(use_big, w * sh, sin_pi8)
+        nrm = ch_h * ch_h + sh_h * sh_h
+        c = (ch_h * ch_h - sh_h * sh_h) / nrm
+        s = (2.0 * ch_h * sh_h) / nrm
+        # T = S G (rotate columns p, q), then S' = G^T T (rotate rows p, q).
+        T = [row[:] for row in S]
+        for i in range(3):
+            tp = S[i][p] * c + S[i][q] * s
+            tq = -S[i][p] * s + S[i][q] * c
+            T[i][p], T[i][q] = tp, tq
+        Sn = [row[:] for row in T]
+        for j in range(3):
+            rp = c * T[p][j] + s * T[q][j]
+            rq = -s * T[p][j] + c * T[q][j]
+            Sn[p][j], Sn[q][j] = rp, rq
+        Vn = [row[:] for row in V]
+        for i in range(3):
+            vp = V[i][p] * c + V[i][q] * s
+            vq = -V[i][p] * s + V[i][q] * c
+            Vn[i][p], Vn[i][q] = vp, vq
+        return Sn, Vn
+
+    for _ in range(sweeps):
+        S, V = jacobi(S, V, 0, 1)
+        S, V = jacobi(S, V, 0, 2)
+        S, V = jacobi(S, V, 1, 2)
+
+    # B = A V: columns orthogonal with norms = singular values.
+    B = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            B[i][j] = A[i][0] * V[0][j] + A[i][1] * V[1][j] + A[i][2] * V[2][j]
+
+    def norm2_col(M, j):
+        return M[0][j] * M[0][j] + M[1][j] * M[1][j] + M[2][j] * M[2][j]
+
+    def cond_swap(B, V, i, j):
+        do = norm2_col(B, i) < norm2_col(B, j)
+        for M in (B, V):
+            for r in range(3):
+                mi, mj = M[r][i], M[r][j]
+                M[r][i] = jnp.where(do, mj, mi)
+                M[r][j] = jnp.where(do, -mi, mj)
+        return B, V
+
+    B, V = cond_swap(B, V, 0, 1)
+    B, V = cond_swap(B, V, 0, 2)
+    B, V = cond_swap(B, V, 1, 2)
+
+    s0 = jnp.sqrt(norm2_col(B, 0))
+    s1 = jnp.sqrt(norm2_col(B, 1))
+
+    inv0 = 1.0 / jnp.maximum(s0, eps)
+    big0 = s0 > 1e-8
+    u0 = [
+        jnp.where(big0, B[0][0] * inv0, one),
+        jnp.where(big0, B[1][0] * inv0, zero),
+        jnp.where(big0, B[2][0] * inv0, zero),
+    ]
+
+    # Orthonormalize column 1 against u0; rank-1 fallback = cross(u0, e_min).
+    dot10 = B[0][1] * u0[0] + B[1][1] * u0[1] + B[2][1] * u0[2]
+    b1 = [B[k][1] - dot10 * u0[k] for k in range(3)]
+    b1n = jnp.sqrt(b1[0] * b1[0] + b1[1] * b1[1] + b1[2] * b1[2])
+    ax = [jnp.abs(u0[k]) for k in range(3)]
+    pick0 = (ax[0] <= ax[1]) & (ax[0] <= ax[2])
+    pick1 = (~pick0) & (ax[1] <= ax[2])
+    e = [
+        jnp.where(pick0, one, zero),
+        jnp.where(pick1, one, zero),
+        jnp.where(pick0 | pick1, zero, one),
+    ]
+    alt = [
+        u0[1] * e[2] - u0[2] * e[1],
+        u0[2] * e[0] - u0[0] * e[2],
+        u0[0] * e[1] - u0[1] * e[0],
+    ]
+    altn = jnp.maximum(
+        jnp.sqrt(alt[0] * alt[0] + alt[1] * alt[1] + alt[2] * alt[2]), eps
+    )
+    alt = [a / altn for a in alt]
+    invb1 = 1.0 / jnp.maximum(b1n, eps)
+    bigb1 = b1n > 1e-8
+    u1 = [jnp.where(bigb1, b1[k] * invb1, alt[k]) for k in range(3)]
+
+    u2 = [
+        u0[1] * u1[2] - u0[2] * u1[1],
+        u0[2] * u1[0] - u0[0] * u1[2],
+        u0[0] * u1[1] - u0[1] * u1[0],
+    ]
+    s2 = B[0][2] * u2[0] + B[1][2] * u2[1] + B[2][2] * u2[2]
+
+    U = [u0, u1, u2]  # columns
+    for i in range(3):
+        for j in range(3):
+            u_ref[i * 3 + j : i * 3 + j + 1, :] = U[j][i]
+            v_ref[i * 3 + j : i * 3 + j + 1, :] = V[i][j]
+    s_ref[0:1, :] = s0
+    s_ref[1:2, :] = s1
+    s_ref[2:3, :] = s2
+
+
+@partial(jax.jit, static_argnames=("sweeps", "interpret"))
+def svd3_pallas(A: jnp.ndarray, sweeps: int = 6, interpret: bool = False):
+    """Single-launch batched signed 3x3 SVD (see ops.svd3.svd3 for the
+    contract: U, V proper rotations, |s0| >= |s1| >= |s2|, s2 signed)."""
+    batch = A.shape[:-2]
+    b = int(np.prod(batch)) if batch else 1
+    a2 = jnp.transpose(A.reshape(b, 9))
+    u2, s2, v2 = pl.pallas_call(
+        partial(_svd3_kernel, sweeps=sweeps),
+        out_shape=(
+            jax.ShapeDtypeStruct((9, b), A.dtype),
+            jax.ShapeDtypeStruct((3, b), A.dtype),
+            jax.ShapeDtypeStruct((9, b), A.dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(a2)
+    U = jnp.transpose(u2).reshape(batch + (3, 3))
+    s = jnp.transpose(s2).reshape(batch + (3,))
+    V = jnp.transpose(v2).reshape(batch + (3, 3))
+    return U, s, V
