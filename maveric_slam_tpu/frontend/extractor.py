@@ -60,7 +60,9 @@ def _unfold_heatmap(semi: jnp.ndarray, cell: int = 8) -> jnp.ndarray:
 def _use_pallas() -> bool:
     # The fused Mosaic kernel measures 2.4x faster than the XLA-fused jnp
     # path on v5e; CPU/interpret stays on the jnp path.
-    return jax.default_backend() not in ("cpu",)
+    from ..ops.backend import use_tpu_pallas
+
+    return use_tpu_pallas()
 
 
 @partial(jax.jit, static_argnames=("config", "apply_nms"))

@@ -52,11 +52,9 @@ def load_params(path: str | None = None) -> Params:
     # int8 carrier dtype for the quantized path (see superpoint_int8): the
     # conversion is done ONCE here — converting inside the jitted step costs
     # a convert + layout copy of every weight tensor per frame.
-    carrier = (
-        jnp.bfloat16
-        if jax.default_backend() in ("tpu", "axon")
-        else jnp.float32
-    )
+    from ..ops.backend import is_mxu_backend
+
+    carrier = jnp.bfloat16 if is_mxu_backend() else jnp.float32
     params: Params = {"input_scale": jnp.float32(raw["input_scale"])}
     for name in LAYERS:
         w_oihw = raw[f"{name}_w"]  # (O, I, KH, KW) int8
@@ -206,11 +204,9 @@ def superpoint_int8(params: Params, images: jnp.ndarray):
         the reference's per-tensor scales (quantized_image0.h:14, :1938).
     """
     # "axon" is a tunneled-TPU PJRT plugin; same MXU guarantees as "tpu".
-    carrier = (
-        jnp.bfloat16
-        if jax.default_backend() in ("tpu", "axon")
-        else jnp.float32
-    )
+    from ..ops.backend import is_mxu_backend
+
+    carrier = jnp.bfloat16 if is_mxu_backend() else jnp.float32
     s = params["input_scale"]
     x = jnp.clip(jnp.round(images[..., None] / s), -128, 127).astype(carrier)
 

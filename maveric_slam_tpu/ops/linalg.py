@@ -185,7 +185,9 @@ def smallest_eigvec_inverse_iteration(
     and fast to compile (measured: the Jacobi/eigh alternatives cost
     minutes of XLA compile inside the fused RANSAC program).
     """
-    if jax.default_backend() == "tpu":
+    from .backend import use_tpu_pallas
+
+    if use_tpu_pallas():
         # Single-launch Mosaic kernel (same arithmetic, component-major):
         # as jnp the recurrence compiles to ~350 HLO ops whose chain XLA
         # splits into hundreds of micro-fusions; the tracking tail becomes

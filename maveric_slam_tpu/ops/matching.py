@@ -64,7 +64,9 @@ def windowed_match(
     n = cells1.shape[0]
     num_cells = grid_h * grid_w
 
-    if jax.default_backend() == "tpu":
+    from .backend import use_tpu_pallas
+
+    if use_tpu_pallas():
         # Fused Mosaic kernel: dots + norms + window mask + argmax in one
         # VMEM-resident pass; scores are bit-identical to the jnp path (the
         # int8 dot fits f32's exact-integer range: 127*127*256 < 2^24), see

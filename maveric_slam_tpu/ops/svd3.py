@@ -100,7 +100,26 @@ def svd3(A: jnp.ndarray):
       U: (..., 3, 3) rotation (det = +1).
       s: (..., 3) singular values, |s0| >= |s1| >= |s2|; s2 carries sign(det A).
       V: (..., 3, 3) rotation (det = +1).  A == U @ diag(s) @ V^T.
+
+    On TPU dispatches to the single-launch Mosaic kernel
+    (ops.pallas_kernels.svd3_pallas, same algorithm in component-major
+    layout): as jnp the Jacobi chain compiles to ~350 HLO ops that XLA
+    splits into hundreds of micro-fusions, making every svd3 call site
+    launch-bound (measured 0.18 ms per call regardless of batch size —
+    geometry/epipolar.py's RANSAC pays it once per scoring pass).
     """
+    A = jnp.asarray(A)
+    from .backend import use_tpu_pallas
+
+    if use_tpu_pallas() and A.dtype == jnp.float32:
+        from .pallas_kernels import svd3_pallas
+
+        return svd3_pallas(A, sweeps=_JACOBI_SWEEPS)
+    return svd3_ref(A)
+
+
+def svd3_ref(A: jnp.ndarray):
+    """Pure-jnp signed 3x3 SVD (the reference/CPU path of `svd3`)."""
     A = jnp.asarray(A)
     dtype = A.dtype
     S = jnp.swapaxes(A, -1, -2) @ A
