@@ -31,8 +31,20 @@ class Vocabulary(NamedTuple):
     scale: jnp.ndarray  # (B,) float32 per-node affine scale
     bias: jnp.ndarray  # (B,) float32 per-node affine bias
     leaf_words: jnp.ndarray  # (B, W, 4) uint32 — 128-bit binary words
+    leaf_bits: jnp.ndarray  # (128, B*W) int8 — the same words as +-1 columns
     num_base_nodes: int
     words_per_base_node: int
+
+
+def _unpack_pm1(leaf_words: np.ndarray) -> np.ndarray:
+    """(B, W, 4) uint32 -> (128, B*W) int8 in {-1, +1}, MSB-first bit order
+    (the transpose of binarize_descriptors' packing, so column b*W+w row e
+    is the sign of descriptor entry e of word (b, w))."""
+    b, w, _ = leaf_words.shape
+    flat = leaf_words.reshape(b * w, 4)
+    shifts = np.arange(31, -1, -1, dtype=np.uint32)
+    bits = (flat[:, :, None] >> shifts[None, None, :]) & 1  # (BW, 4, 32)
+    return np.where(bits.reshape(b * w, 128), 1, -1).astype(np.int8).T
 
 
 def load_reference_vocabulary() -> Vocabulary:
@@ -40,11 +52,13 @@ def load_reference_vocabulary() -> Vocabulary:
     from ..data import refdata
 
     v = refdata.vocabulary()
+    leaves = np.asarray(v["leaf_descriptors"], np.uint32)
     return Vocabulary(
         base_descriptors=jnp.asarray(v["base_descriptors"], jnp.int8),
         scale=jnp.asarray(v["scale"]),
         bias=jnp.asarray(v["bias"]),
-        leaf_words=jnp.asarray(v["leaf_descriptors"], jnp.uint32),
+        leaf_words=jnp.asarray(leaves),
+        leaf_bits=jnp.asarray(_unpack_pm1(leaves)),
         num_base_nodes=v["num_base_nodes"],
         words_per_base_node=v["words_per_base_node"],
     )
@@ -94,17 +108,29 @@ def _assign_words_impl(desc_q, desc_scale, mask, vocab, vocab_static, positive_g
         # node 0 — a reference bug; default is the plain argmax.
         base = jnp.where(jnp.max(scores, axis=-1) > 0, base, 0)
 
-    # --- leaf search: XOR + popcount against the node's 1000 words ---------
-    feat_bits = binarize_descriptors(desc_q)[:, :4]  # first 128 bits
-    node_words = vocab.leaf_words[base]  # (N, W, 4) uint32
-    diff = jnp.bitwise_xor(feat_bits[:, None, :], node_words)
-    matching = 128 - jnp.sum(
-        jax.lax.population_count(diff), axis=-1
-    ).astype(jnp.int32)  # (N, W)
-    word = jnp.argmax(matching, axis=-1).astype(jnp.int32)
-    best = jnp.take_along_axis(matching, word[:, None], axis=-1)[:, 0]
-
-    word_id = base * wpn + word
+    # --- leaf search: one +-1 popcount-matmul over ALL B*W words -----------
+    # Hamming similarity as arithmetic: with f, l in {-1,+1}^128,
+    # dot(f, l) = (#equal bits) - (#diff bits) = 128 - 2*hamming, so
+    # matching_bits = (128 + dot)/2 exactly. The (N,128)x(128,B*W) int8
+    # matmul runs on the MXU (~13 MMACs) and replaces the round-2 design's
+    # (N, W, 4) uint32 gather + XOR/popcount pass, which at 1.12 ms/frame
+    # cost more than the entire tracking step (round-2 verdict, weak #5).
+    # Words outside the selected base node are masked before the argmax;
+    # ties resolve to the lowest word id, same as the per-node argmax.
+    feat_pm1 = jnp.where(desc_q[:, :128] > 0, 1, -1).astype(jnp.int8)
+    dots_leaf = jax.lax.dot_general(
+        feat_pm1,
+        vocab.leaf_bits,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (N, B*W)
+    matching_all = (128 + dots_leaf) // 2
+    word_node = jnp.arange(b * wpn, dtype=jnp.int32) // wpn  # (B*W,)
+    in_node = word_node[None, :] == base[:, None]
+    masked = jnp.where(in_node, matching_all, -1)
+    word_id = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+    best = jnp.take_along_axis(masked, word_id[:, None], axis=-1)[:, 0]
+    word = word_id - base * wpn
     invalid = ~mask
     return WordAssignment(
         base_node=jnp.where(invalid, -1, base),

@@ -76,6 +76,47 @@ class TestBAEarnsItsPlace:
         assert ate_ba < 0.92 * ate_no, (ate_ba, ate_no)
 
 
+class TestPipelinedEngine:
+    def test_async_pipeline_matches_sync_quality(self, params, frames):
+        """fetch_delay > 0 overlaps device->host transfers with compute
+        (BA solves and loop decisions apply a few frames late); the
+        trajectory must stay at sync-mode accuracy."""
+        slam = SlamSystem(
+            params, DEFAULT_CONFIG, enable_loop_closure=True,
+            ba_every=4, fetch_delay=3,
+        )
+        for f in range(160, 170):
+            slam.process(frames[f])
+        est = slam.trajectory()  # finish() drains the pipeline
+        assert len(est) == 10
+        gt = kitti.read_poses(GT)[160:170]
+        m_ate = evaluation.ate(est, gt)
+        assert m_ate["ate_rmse"] < 0.3, m_ate
+        # Pipeline fully drained.
+        assert not slam._pending and slam._pending_ba is None
+
+    def test_pipelined_loop_closure_fires(self, params, frames):
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG,
+            loop=dataclasses.replace(
+                DEFAULT_CONFIG.loop, min_frame_gap=6, min_score=0.2
+            ),
+            keyframe=dataclasses.replace(
+                DEFAULT_CONFIG.keyframe, max_interval=1
+            ),
+        )
+        slam = SlamSystem(
+            params, cfg, ba_every=0, enable_loop_closure=True, fetch_delay=3
+        )
+        seq = list(range(160, 170)) + list(range(160, 165))
+        for f in seq:
+            slam.process(frames[f])
+        slam.finish()
+        assert slam.loop_events, "no loop closures detected in pipelined mode"
+        ev = slam.loop_events[0]
+        assert abs((ev.frame - ev.matched_frame) - 10) <= 2, ev
+
+
 class TestLoopClosure:
     def test_detects_revisit(self, params, frames):
         # Drive through 160..169, then revisit 160..164: the revisit frames
