@@ -214,6 +214,20 @@ def fused_windowed_match(
 # Batched tiny-matrix solvers (component-major, single kernel launch)
 # --------------------------------------------------------------------------- #
 
+# Lane-tile for the component-major solvers: each grid step processes
+# (n_components, _SOLVER_TILE_B) — 81 x 2048 f32 = 648 KiB for the 9x9
+# nullspace, far under the ~16 MiB VMEM budget — so arbitrarily large
+# hypotheses x points batches tile over the grid instead of hitting a
+# Mosaic whole-array VMEM compile error.
+_SOLVER_TILE_B = 2048
+
+
+def _solver_tiling(b: int):
+    """(tile_b, padded_b, grid) for a component-major (comp, b) problem."""
+    tb = min(b, _SOLVER_TILE_B)
+    padded = -(-b // tb) * tb
+    return tb, padded, padded // tb
+
 def _nullspace_kernel(ata_ref, x_ref, *, n, iters):
     """Smallest eigenvector of B symmetric PSD n x n matrices.
 
@@ -281,15 +295,23 @@ def nullspace_inverse_iteration(
     n = AtA.shape[-1]
     batch = AtA.shape[:-2]
     b = int(np.prod(batch)) if batch else 1
+    tb, padded, grid = _solver_tiling(b)
     a2 = jnp.transpose(AtA.reshape(b, n * n))  # (n*n, B) component-major
+    if padded != b:
+        # Zero matrices are safe through the guarded recurrence (max/eps
+        # clamps); the pad lanes are sliced off below.
+        a2 = jnp.pad(a2, ((0, 0), (0, padded - b)))
     out = pl.pallas_call(
         partial(_nullspace_kernel, n=n, iters=iterations),
-        out_shape=jax.ShapeDtypeStruct((n, b), AtA.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(grid,),
+        out_shape=jax.ShapeDtypeStruct((n, padded), AtA.dtype),
+        in_specs=[
+            pl.BlockSpec((n * n, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((n, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(a2)
-    return jnp.transpose(out).reshape(batch + (n,))
+    return jnp.transpose(out[:, :b]).reshape(batch + (n,))
 
 
 def _svd3_kernel(a_ref, u_ref, s_ref, v_ref, *, sweeps):
@@ -435,23 +457,29 @@ def svd3_pallas(A: jnp.ndarray, sweeps: int = 6, interpret: bool = False):
     contract: U, V proper rotations, |s0| >= |s1| >= |s2|, s2 signed)."""
     batch = A.shape[:-2]
     b = int(np.prod(batch)) if batch else 1
+    tb, padded, grid = _solver_tiling(b)
     a2 = jnp.transpose(A.reshape(b, 9))
+    if padded != b:
+        a2 = jnp.pad(a2, ((0, 0), (0, padded - b)))
     u2, s2, v2 = pl.pallas_call(
         partial(_svd3_kernel, sweeps=sweeps),
+        grid=(grid,),
         out_shape=(
-            jax.ShapeDtypeStruct((9, b), A.dtype),
-            jax.ShapeDtypeStruct((3, b), A.dtype),
-            jax.ShapeDtypeStruct((9, b), A.dtype),
+            jax.ShapeDtypeStruct((9, padded), A.dtype),
+            jax.ShapeDtypeStruct((3, padded), A.dtype),
+            jax.ShapeDtypeStruct((9, padded), A.dtype),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec((9, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(a2)
-    U = jnp.transpose(u2).reshape(batch + (3, 3))
-    s = jnp.transpose(s2).reshape(batch + (3,))
-    V = jnp.transpose(v2).reshape(batch + (3, 3))
+    U = jnp.transpose(u2[:, :b]).reshape(batch + (3, 3))
+    s = jnp.transpose(s2[:, :b]).reshape(batch + (3,))
+    V = jnp.transpose(v2[:, :b]).reshape(batch + (3, 3))
     return U, s, V

@@ -79,9 +79,11 @@ def _scatter_depth(state: trk.TrackerState, cells, vals, ok):
 
     Fixed-capacity masked scatter: no device->host read of the live state,
     so the apply never stalls the tracking pipeline."""
-    idx = jnp.where(ok, cells, 0)
-    depth = state.depth.at[idx].set(jnp.where(ok, vals, state.depth[idx]))
-    valid = state.depth_valid.at[idx].set(ok | state.depth_valid[idx])
+    # Masked lanes get an out-of-range index and mode="drop" so they cannot
+    # collide with a genuine write to cell 0.
+    idx = jnp.where(ok, cells, state.depth.shape[0])
+    depth = state.depth.at[idx].set(vals, mode="drop")
+    valid = state.depth_valid.at[idx].set(True, mode="drop")
     return state._replace(depth=depth, depth_valid=valid)
 
 
@@ -243,7 +245,7 @@ class SlamSystem:
                 self._apply_pending_ba()
 
         if self.enable_loop_closure:
-            self._keyframe_step(fidx, step, word_ids, wa)
+            self._keyframe_step(fidx, step, wa)
         self._resolve_pending_loops(force=self.fetch_delay == 0)
 
     # ------------------------------------------------------------------ #
@@ -472,7 +474,7 @@ class SlamSystem:
         ratio = num_inliers / max(self.config.frontend.top_n, 1)
         return ratio < kc.min_match_ratio
 
-    def _keyframe_step(self, fidx: int, step, word_ids: np.ndarray, wa) -> None:
+    def _keyframe_step(self, fidx: int, step, wa) -> None:
         if not self._is_keyframe(fidx, int(step.num_inliers)):
             return
         self._last_kf = fidx
@@ -604,6 +606,13 @@ class SlamSystem:
     def _optimize_skeleton_graph(
         self, matched_frame: int, cur: int, R_m_lc: np.ndarray, t_m_lc: np.ndarray
     ) -> None:
+        # A BA solve dispatched from an earlier frame may still be in
+        # flight; apply it to the (pre-correction) trajectory it was
+        # optimized against BEFORE correcting. Otherwise _apply_pending_ba
+        # would later overwrite corrected window poses with pre-correction
+        # ones, leaving a discontinuity the rest of the trajectory chains
+        # across.
+        self._apply_pending_ba()
         nodes = self._skeleton_nodes(matched_frame, cur)
         n = len(nodes)
         node_pos = {f: k for k, f in enumerate(nodes)}

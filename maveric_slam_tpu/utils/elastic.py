@@ -66,7 +66,12 @@ class FailureDetector:
     def __init__(self, step_timeout_s: float = 60.0):
         self.step_timeout_s = step_timeout_s
 
-    def run_step(self, system: "slam_mod.SlamSystem", image: np.ndarray) -> None:
+    def run_step(
+        self,
+        system: "slam_mod.SlamSystem",
+        image: np.ndarray,
+        frame: Optional[int] = None,
+    ) -> None:
         result: dict = {}
 
         def work():
@@ -80,9 +85,12 @@ class FailureDetector:
         t.start()
         t.join(self.step_timeout_s)
         if t.is_alive():
+            # system.frame_idx is unreliable mid-hang (process() bumps it
+            # before the device work), so the caller passes the stream
+            # index of the frame being attempted.
+            which = frame if frame is not None else system.frame_idx
             raise StepTimeout(
-                f"step exceeded {self.step_timeout_s}s at frame "
-                f"{system.frame_idx + 1}"
+                f"step exceeded {self.step_timeout_s}s at frame {which}"
             )
         if "error" in result:
             raise StepCrash(repr(result["error"])) from result["error"]
@@ -124,9 +132,15 @@ class ElasticRunner:
     ):
         self.params = params
         self.config = config
-        self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
-            prefix="maveric_elastic_"
-        )
+        # When no dir is supplied we own a TemporaryDirectory whose
+        # finalizer (and close()) removes it — no leaked mkdtemp.
+        self._tmpdir: Optional[tempfile.TemporaryDirectory] = None
+        if checkpoint_dir is None:
+            self._tmpdir = tempfile.TemporaryDirectory(
+                prefix="maveric_elastic_"
+            )
+            checkpoint_dir = self._tmpdir.name
+        self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.max_restarts = max_restarts
         self.detector = FailureDetector(step_timeout_s)
@@ -141,6 +155,12 @@ class ElasticRunner:
         self._last_ckpt_frame = -1
 
     # ------------------------------------------------------------------ #
+
+    def close(self) -> None:
+        """Release the owned checkpoint directory (no-op if user-supplied)."""
+        if self._tmpdir is not None:
+            self._tmpdir.cleanup()
+            self._tmpdir = None
 
     def _checkpoint(self) -> None:
         checkpoint.save(self.system, self._ckpt_path)
@@ -177,7 +197,7 @@ class ElasticRunner:
                         raise StepCrash(f"fault hook: {e!r}") from e
                     if out is not None:
                         img = out
-                self.detector.run_step(self.system, img)
+                self.detector.run_step(self.system, img, frame=i)
             except StepFailure as e:
                 self.failures.append(f"frame {i}: {e}")
                 self.restarts += 1

@@ -93,6 +93,23 @@ class TestNullspaceKernel:
             s = np.sign(np.sum(ref * got, axis=-1, keepdims=True))
             np.testing.assert_allclose(got * s, ref, atol=1e-4)
 
+    def test_batch_tiling(self):
+        """Batches beyond one lane-tile (2048) grid over VMEM blocks,
+        including a ragged final block, instead of one whole-array block."""
+        from maveric_slam_tpu.ops.linalg import (
+            smallest_eigvec_inverse_iteration,
+        )
+
+        rng = np.random.default_rng(7)
+        A = rng.normal(size=(2600, 4, 4)).astype(np.float32)
+        A = np.einsum("...ij,...kj->...ik", A, A)
+        ref = np.asarray(smallest_eigvec_inverse_iteration(A))
+        got = np.asarray(
+            pallas_kernels.nullspace_inverse_iteration(A, interpret=True)
+        )
+        s = np.sign(np.sum(ref * got, axis=-1, keepdims=True))
+        np.testing.assert_allclose(got * s, ref, atol=1e-4)
+
     def test_vmap(self):
         from maveric_slam_tpu.ops.linalg import (
             smallest_eigvec_inverse_iteration,
@@ -154,6 +171,12 @@ class TestSvd3Kernel:
         for A in mats:
             got = pallas_kernels.svd3_pallas(jnp.asarray(A), interpret=True)
             self._check(A, got)
+
+    def test_batch_tiling(self):
+        rng = np.random.default_rng(8)
+        A = rng.normal(size=(2100, 3, 3)).astype(np.float32)
+        got = pallas_kernels.svd3_pallas(jnp.asarray(A), interpret=True)
+        self._check(A, got)
 
     def test_vmap(self):
         rng = np.random.default_rng(3)

@@ -117,6 +117,63 @@ class TestPipelinedEngine:
         assert abs((ev.frame - ev.matched_frame) - 10) <= 2, ev
 
 
+class TestPipelinedBAPlusLoopClosure:
+    def test_pending_ba_cannot_revert_loop_correction(self, params, frames):
+        """Regression (round-3 advisor): with fetch_delay>0 and BA enabled,
+        a loop-closure pose-graph correction used to be partially overwritten
+        by a pending BA solve optimized against the PRE-correction trajectory,
+        leaving a discontinuity between window frames and their successors.
+        The engine now applies any in-flight BA before correcting; the
+        resulting trajectory must stay continuous (consecutive translation
+        steps bounded by real vehicle motion) with both subsystems active."""
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG,
+            loop=dataclasses.replace(
+                DEFAULT_CONFIG.loop, min_frame_gap=6, min_score=0.2
+            ),
+            keyframe=dataclasses.replace(
+                DEFAULT_CONFIG.keyframe, max_interval=1
+            ),
+        )
+        slam = SlamSystem(
+            params, cfg, ba_every=2, enable_loop_closure=True, fetch_delay=3
+        )
+        seq = list(range(160, 170)) + list(range(160, 165))
+        for f in seq:
+            slam.process(frames[f])
+        est = slam.trajectory()
+        assert slam.loop_events, "loop closure did not fire alongside BA"
+        steps = np.linalg.norm(np.diff(est[:, :3, 3], axis=0), axis=-1)
+        # KITTI 00 inter-frame motion here is ~1 m; a reverted correction
+        # shows up as a multi-meter jump at the BA window boundary. Step
+        # 9->10 is the sequence splice (169 back to 160, a genuine ~7 m
+        # physical jump) and is excluded.
+        contiguous = np.delete(steps, 9)
+        assert contiguous.max() < 3.0, steps
+
+    def test_inflight_ba_consumed_before_correction(self, params, frames):
+        """The precise invariant behind the fix: when a pose-graph
+        correction runs, any in-flight BA solve must be applied (consumed)
+        first — afterwards _pending_ba is None, so the next _consume cannot
+        overwrite corrected poses with a pre-correction solve."""
+        slam = SlamSystem(
+            params, DEFAULT_CONFIG, ba_every=0, enable_loop_closure=True,
+            fetch_delay=3,
+        )
+        for f in range(160, 169):
+            slam.process(frames[f])
+        while slam._pending:
+            slam._consume(*slam._pending.pop(0))
+        slam._dispatch_window_ba(slam.frame_idx)
+        assert slam._pending_ba is not None, "BA dispatch produced no solve"
+        slam._optimize_skeleton_graph(
+            0, slam.frame_idx, np.eye(3), np.zeros(3)
+        )
+        assert slam._pending_ba is None, (
+            "pose-graph correction left a stale pre-correction BA pending"
+        )
+
+
 class TestLoopClosure:
     def test_detects_revisit(self, params, frames):
         # Drive through 160..169, then revisit 160..164: the revisit frames
