@@ -37,19 +37,30 @@ BASE = "/root/reference/datasets/kitti/sequences/00/image_0"
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _timeit(fn, iters=50, warmup=2):
-    """Median-of-runs seconds per call; fn must block on device results."""
+def _fetch(out):
+    """TRUE device barrier: host-fetch every leaf. On the tunneled TPU
+    runtime here, jax.block_until_ready returns at dispatch-acknowledge
+    without waiting for execution (see bench.py's protocol note); only a
+    host fetch of the result actually synchronizes."""
     import jax
 
+    for leaf in jax.tree.leaves(out):
+        np.asarray(leaf)
+
+
+def _timeit(fn, iters=50, warmup=2):
+    """Median-of-runs seconds per call; synchronizes by host-fetching the
+    final call's (small) result, amortizing the ~27 ms tunnel round-trip
+    over `iters` dispatches."""
     for _ in range(warmup):
         out = fn()
-    jax.block_until_ready(out)
+    _fetch(out)
     runs = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn()
-        jax.block_until_ready(out)
+        _fetch(out)
         runs.append((time.perf_counter() - t0) / iters)
     return float(np.median(runs))
 
@@ -80,26 +91,57 @@ def bench_pairwise(params, frames, cfg):
 
 
 def bench_tracking(params, frames, cfg):
-    import jax
-    import jax.numpy as jnp
+    import bench
 
-    from maveric_slam_tpu.frontend import tracker as trk
-
-    dev = [jax.device_put(jnp.asarray(f)) for f in frames]
-    state = trk.init_state(params, dev[0], cfg)
-    state, step = trk.track_step(params, state, dev[1], cfg)
-    jax.block_until_ready(step.t)
-    n, t0 = 0, time.perf_counter()
-    for _ in range(5):
-        for img in dev[1:]:
-            state, step = trk.track_step(params, state, img, cfg)
-            n += 1
-    jax.block_until_ready(step.t)
-    fps = n / (time.perf_counter() - t0)
+    fps = bench.measure_tracker_fps(frames)
     return {
         "metric": "tracked_frames_per_s_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
+        "protocol": "host-fetch barrier, unique chained inputs (bench.py)",
+    }
+
+
+def bench_slam(params, frames, cfg):
+    """Integrated engine: tracking + BoW/pool + keyframing + window BA +
+    LCD queries, host pipeline at fetch_delay=3 (the production
+    configuration of slam.SlamSystem). Wall-clock includes all host-side
+    bookkeeping — the honest end-to-end frames/s of the full system."""
+    from maveric_slam_tpu.slam import SlamSystem
+
+    rng = np.random.default_rng(11)
+    n_frames = 60
+    stream = [
+        np.clip(
+            frames[k % len(frames)]
+            + rng.normal(0, 0.02, frames[0].shape).astype(np.float32),
+            0,
+            1,
+        ).astype(np.float32)
+        for k in range(n_frames)
+    ]
+    def run_engine():
+        slam = SlamSystem(
+            params, cfg, ba_every=4, enable_loop_closure=True, fetch_delay=3
+        )
+        for f in stream:
+            slam.process(f)
+        slam.finish()
+        return slam
+
+    # Pass 1 compiles every program shape the loop can hit (tracking step,
+    # BA windows, pose graph, LCD); pass 2 on a FRESH engine hits the jit
+    # cache and measures steady-state throughput only.
+    run_engine()
+    t0 = time.perf_counter()
+    run_engine()
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+    return {
+        "metric": "slam_fps_integrated",
+        "value": round(fps, 1),
+        "unit": "frames/s (full engine: track+BA+LCD+pose graph)",
+        "ms_per_frame": round(dt / n_frames * 1e3, 2),
     }
 
 
@@ -165,10 +207,12 @@ def bench_bow_lcd(params, frames, cfg):
     n_top = cfg.loop.top_n_features
     desc = feats.desc_q.reshape(-1, 256)[:n_top]
     mask = jnp.ones((n_top,), bool)
-    assign = jax.jit(vocab_lib.assign_words, static_argnames=("positive_gate",))
-
+    # assign_words dispatches to an internally-jitted impl; wrapping it in
+    # another jit would trace the Vocabulary's static int fields.
     def run_assign():
-        return assign(desc, feats.desc_scale, mask, vocab).word_id
+        return vocab_lib.assign_words(
+            desc, feats.desc_scale, mask, vocab
+        ).word_id
 
     assign_sec = _timeit(run_assign, iters=50)
 
@@ -260,6 +304,7 @@ def main():
     results = [
         bench_pairwise(params, frames, DEFAULT_CONFIG),
         bench_tracking(params, frames, DEFAULT_CONFIG),
+        bench_slam(params, frames, DEFAULT_CONFIG),
         bench_window_ba(),
         bench_bow_lcd(params, frames, DEFAULT_CONFIG),
     ]

@@ -72,21 +72,53 @@ def optimize(
         b = b.at[graph.edge_j].add(-jnp.einsum("eki,ek->ei", wJj, r))
         return H, b, cost
 
+    def cost_only(R, t):
+        r, _, _ = relin.between_residual_jacobians(
+            R[graph.edge_i],
+            t[graph.edge_i],
+            R[graph.edge_j],
+            t[graph.edge_j],
+            graph.R_meas,
+            graph.t_meas,
+        )
+        return 0.5 * jnp.sum(graph.weight * jnp.sum(r * r, axis=-1))
+
+    # Adaptive Levenberg-Marquardt: plain GN with a fixed tiny damping
+    # oscillates on large loop corrections (measured: cost 49 -> 64 across
+    # iterations on 4 m closures) — each candidate step is accepted only if
+    # it reduces the cost, with lambda annealed down on success and inflated
+    # on rejection.
     def body(carry, _):
-        R, t = carry
-        H, b, cost = linearize(R, t)
+        R, t, lam, cost = carry
+        H, b, _ = linearize(R, t)
         H = H.at[jnp.arange(p), jnp.arange(p)].add(
-            damping * jnp.eye(6, dtype=H.dtype)
+            lam * jnp.eye(6, dtype=H.dtype)
         )
         H = H.at[0, 0].add(gauge_weight * jnp.eye(6, dtype=H.dtype))
         H_flat = jnp.swapaxes(H, 1, 2).reshape(p * 6, p * 6)
         dx = jnp.linalg.solve(H_flat, b.reshape(-1)).reshape(p, 6)
         dR, dt = se3_exp(dx)
-        R_new = dR @ R
-        t_new = jnp.einsum("pij,pj->pi", dR, t) + dt
-        return (R_new, t_new), cost
+        R_c = dR @ R
+        t_c = jnp.einsum("pij,pj->pi", dR, t) + dt
+        new_cost = cost_only(R_c, t_c)
+        finite = jnp.isfinite(new_cost)
+        accept = finite & (new_cost < cost)
+        R_n = jnp.where(accept, R_c, R)
+        t_n = jnp.where(accept, t_c, t)
+        cost_n = jnp.where(accept, new_cost, cost)
+        lam_n = jnp.clip(
+            jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e6
+        )
+        return (R_n, t_n, lam_n, cost_n), cost_n
 
-    (R, t), costs = jax.lax.scan(body, (graph.R, graph.t), None, length=iterations)
+    init_cost = cost_only(graph.R, graph.t)
+    lam0 = jnp.asarray(max(damping, 1e-4), graph.R.dtype)
+    (R, t, _, _), costs = jax.lax.scan(
+        body, (graph.R, graph.t, lam0, init_cost), None, length=iterations
+    )
+    # costs[0] is the pre-optimization cost (callers compare first vs last
+    # for convergence); the scan's per-iteration costs follow.
+    costs = jnp.concatenate([init_cost[None], costs])
     return graph._replace(R=R, t=t), costs
 
 

@@ -160,6 +160,11 @@ class LoopClosureConfig:
     # Pose-graph skeleton cap: loop correction optimizes at most this many
     # nodes (keyframes are subsampled, skipped poses ride along rigidly).
     max_graph_nodes: int = 256
+    # Correction gate: the pose graph is only re-optimized when some loop
+    # edge's translation residual against the current trajectory exceeds
+    # this (meters). Below it, corrections would only redistribute edge
+    # measurement noise (~0.1-0.3 m per edge) and jitter the trajectory.
+    correction_gate_m: float = 0.5
 
     @property
     def vocab_size(self) -> int:

@@ -60,6 +60,11 @@ class StepResult(NamedTuple):
     match_mask: jnp.ndarray  # (N,) bool — RANSAC inlier matches
     desc_top: jnp.ndarray  # (N, 256) int8 descriptors of the new features
     desc_scale: jnp.ndarray  # () descriptor scale
+    depth_top: jnp.ndarray  # (N,) metric depth of each new feature in the
+    #     NEW camera frame (0 where invalid) — loop closure uses these to
+    #     recover the metric scale of a loop edge via depth-ratio
+    #     triangulation instead of trusting the (drifted) pose guess
+    depth_top_ok: jnp.ndarray  # (N,) bool
 
 
 def _masked_median(x: jnp.ndarray, mask: jnp.ndarray, default: jnp.ndarray) -> jnp.ndarray:
@@ -238,6 +243,8 @@ def _step_from_feats(
         match_mask=m.mask & inliers_out,
         desc_top=desc1[top.cells],
         desc_scale=feats.desc_scale,
+        depth_top=jnp.where(write, p_cam_new[..., 2], 0.0),
+        depth_top_ok=write,
     )
 
 
@@ -388,9 +395,10 @@ class PipelinedTracker:
 def init_states_batched(params, images: jnp.ndarray, config: SlamConfig):
     """Initialize S independent tracker states from (S, H, W) first frames.
 
-    Streams get decorrelated PRNG keys. Throughput measured on v5e:
-    16 streams -> ~1350 aggregate tracked frames/s/chip (vs ~250 single),
-    because batching keeps the MXU busy through the small-matrix stages.
+    Streams get decorrelated PRNG keys. Batching keeps the MXU busy through
+    the small-matrix stages; see BENCH_ALL.json / README for the measured
+    single-stream vs aggregate throughput (numbers move per round — the
+    benchmark artifacts are the source of truth, not this docstring).
     """
     s = images.shape[0]
     states = jax.vmap(lambda im: init_state(params, im, config, 0))(images)

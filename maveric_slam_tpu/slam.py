@@ -38,6 +38,7 @@ Pose bookkeeping: self.poses[k] is T_w_ck (camera-to-world, KITTI format).
 from __future__ import annotations
 
 import dataclasses
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import List, Optional
 
@@ -103,6 +104,9 @@ class SlamSystem:
         self.ba_every = ba_every
         self.enable_loop_closure = enable_loop_closure
         self.fetch_delay = fetch_delay
+        # Device->host materialization pool (see process()): overlaps the
+        # per-frame transfer round-trips with compute and each other.
+        self._fetch_pool = ThreadPoolExecutor(max_workers=4)
 
         self.state: Optional[trk.TrackerState] = None
         self.frame_idx = -1
@@ -122,6 +126,12 @@ class SlamSystem:
         self._pending_ba: Optional[tuple] = None
         self._pending_loops: List[tuple] = []
         self._sightings_host: Optional[np.ndarray] = None
+        # Accepted loop-closure edges (fi, fj, R_meas, t_meas), bounded.
+        # Every pose-graph solve includes ALL retained edges: the graph is
+        # rebuilt from raw odometry each time, so an optimization carrying
+        # only the newest edge would silently revert every earlier
+        # correction (measured: zero long-horizon drift reduction).
+        self.loop_edges: List[tuple] = []
 
         if enable_loop_closure:
             self.vocab = vocab_lib.load_reference_vocabulary()
@@ -187,7 +197,16 @@ class SlamSystem:
             )
             wa, sightings = None, None
             _async_to_host(step)
-        self._pending.append((self.frame_idx, step, wa, sightings))
+        # Materialize the host payload on the fetch pool: on runtimes where
+        # copy_to_host_async is not honored (the tunneled TPU used for
+        # benching), every np.asarray is a full device round-trip —
+        # serialized in _consume they cost ~1 RTT per frame; on the pool
+        # the round-trips overlap compute and each other. `wa` stays
+        # device-resident for the keyframe LCD path.
+        fut = self._fetch_pool.submit(
+            jax.tree.map, np.asarray, (step, sightings, wa)
+        )
+        self._pending.append((self.frame_idx, fut, wa))
         while len(self._pending) > self.fetch_delay:
             self._consume(*self._pending.pop(0))
 
@@ -201,9 +220,12 @@ class SlamSystem:
 
     # ------------------------------------------------------------------ #
 
-    def _consume(self, fidx: int, step, wa, sightings) -> None:
-        """Host-side bookkeeping for one tracked frame (values were copied
-        to host asynchronously; np.asarray here is (near-)free)."""
+    def _consume(self, fidx: int, fut, wa) -> None:
+        """Host-side bookkeeping for one tracked frame. `fut` resolves to
+        the numpy-materialized (StepResult, sightings, word_ids) prefetched
+        on the fetch pool; `wa` is the still-device-resident word-id vector
+        the keyframe LCD path reuses without re-upload."""
+        step, sightings, word_ids = fut.result()
         R = np.asarray(step.R)
         t = np.asarray(step.t)
         self.rel_poses.append((R, t))
@@ -212,9 +234,7 @@ class SlamSystem:
         T_rel[:3, 3] = t
         self.poses.append(self.poses[-1] @ np.linalg.inv(T_rel))
 
-        word_ids = None
         if wa is not None:
-            word_ids = np.asarray(wa)
             self._sightings_host = np.asarray(sightings)
 
         self.tracks.advance(
@@ -328,27 +348,38 @@ class SlamSystem:
             # slide the window scale, which shows up directly as ATE drift).
             num_anchored=2,
         )
-        _async_to_host((solved.R, solved.t, solved.X))
-        self._pending_ba = (frames, solved, uv, mask, tids, n_real)
+        # ONE packed device buffer for the whole solve: on high-RTT
+        # (tunneled) runtimes every separate np.asarray materialization is
+        # a full round-trip, and the apply used to fetch R, t, X as
+        # distinct arrays (~7 RTTs per BA window — measured 190 ms/apply,
+        # the dominant cost of the integrated engine).
+        packed = jnp.concatenate(
+            [solved.R.reshape(-1), solved.t.reshape(-1), solved.X.reshape(-1)]
+        )
+        _async_to_host(packed)
+        self._pending_ba = (frames, packed, uv, mask, tids, n_real)
 
     def _apply_pending_ba(self) -> None:
         if self._pending_ba is None:
             return
-        frames, solved, uv, mask, tids, n_real = self._pending_ba
+        frames, packed, uv, mask, tids, n_real = self._pending_ba
         self._pending_ba = None
+        flat = np.asarray(packed)  # single host materialization
+        p = self.config.ba.num_poses
+        R_all = flat[: p * 9].reshape(p, 3, 3)
+        t_all = flat[p * 9 : p * 12].reshape(p, 3)
+        X_all = flat[p * 12 :].reshape(-1, 3)
         # Write optimized poses back (cam-from-world -> cam-to-world).
-        R_opt = np.asarray(solved.R)[:n_real]
-        t_opt = np.asarray(solved.t)[:n_real]
         for k, f in enumerate(frames):
             T = np.eye(4)
-            T[:3, :3] = R_opt[k].T
-            T[:3, 3] = -R_opt[k].T @ t_opt[k]
+            T[:3, :3] = R_all[k].T
+            T[:3, 3] = -R_all[k].T @ t_all[k]
             self.poses[f] = T
 
         # Feed optimized structure back into the tracker's depth map: the
         # scale chain re-anchors on BA-corrected depths instead of drifting
         # on raw two-view triangulations.
-        self._feedback_landmarks(solved, uv, mask, tids, n_real)
+        self._feedback_landmarks(R_all, t_all, X_all, uv, mask, tids, n_real)
 
     # Depth write-back gates (class-level so deployments can tune them):
     # landmarks must reproject within FB_ERR_PX in the current frame and
@@ -356,15 +387,16 @@ class SlamSystem:
     FB_ERR_PX = 1.0
     FB_MIN_OBS = 3
 
-    def _feedback_landmarks(self, solved, uv, mask, tids, n_real: int) -> None:
+    def _feedback_landmarks(
+        self, R_all, t_all, X_opt, uv, mask, tids, n_real: int
+    ) -> None:
         max_err_px = self.FB_ERR_PX
         mask = np.asarray(mask)
         obs_last = mask[:, n_real - 1] & (mask.sum(1) >= self.FB_MIN_OBS)
         if not obs_last.any():
             return
-        X_opt = np.asarray(solved.X)  # (L, 3) world coords
-        R_last = np.asarray(solved.R)[n_real - 1]  # cam-from-world
-        t_last = np.asarray(solved.t)[n_real - 1]
+        R_last = R_all[n_real - 1]  # cam-from-world
+        t_last = t_all[n_real - 1]
         p_cam = X_opt @ R_last.T + t_last
         z = p_cam[:, 2]
 
@@ -498,6 +530,11 @@ class SlamSystem:
             "desc": np.asarray(step.desc_top),
             "xy": np.asarray(step.xy_new),
             "mask": np.asarray(step.cells_new) >= 0,
+            # Metric feature depths in this keyframe's camera: the loop
+            # edge recovers its translation scale from these (depth-ratio
+            # against the unit-baseline triangulation of the loop pair).
+            "depth": np.asarray(step.depth_top),
+            "depth_ok": np.asarray(step.depth_top_ok),
         }
         self.kf_store[slot] = cur_entry
         self.kf_frames.append(fidx)
@@ -559,18 +596,62 @@ class SlamSystem:
         if n_in < 30:
             return None
 
-        # Loop edge measurement T_c_matched_c_cur: rotation from RANSAC;
-        # translation direction from RANSAC scaled by the current estimate
-        # (monocular: the magnitude is unobservable from one pair).
+        # Loop edge measurement T_c_matched_c_cur: rotation + translation
+        # direction from RANSAC. The monocular translation MAGNITUDE is
+        # recovered by depth-ratio: triangulate the loop pair at unit
+        # baseline (points in the matched keyframe's camera), divide the
+        # keyframe's stored metric feature depths by the unit-baseline
+        # depths, take the masked median. Scaling by the current pose
+        # estimate instead (the round-3 design) bakes the accumulated
+        # drift into the measurement — on a revisit the edge then claims
+        # the camera is drift-many meters away and the pose graph has
+        # nothing to correct (measured: zero drift reduction at 500
+        # frames; see tests/test_long_sequence.py).
         R_lc = np.asarray(rr.R)  # p_cur = R p_matched + t
+        X_unit = np.asarray(epipolar.triangulate(rr.R, rr.t, p1, p2))
+        z_unit = X_unit[:, 2]
+        good = (
+            np.asarray(rr.inliers)
+            & np.asarray(entry["depth_ok"])
+            & (z_unit > 1e-3)
+            & (z_unit < 1e3)
+            & (entry["depth"] > 0.1)
+        )
         T_guess = np.linalg.inv(self.poses[matched_frame]) @ self.poses[cur]
-        t_scale = np.linalg.norm(T_guess[:3, 3])
+        guess_norm = float(np.linalg.norm(T_guess[:3, 3]))
+        if good.sum() >= 8:
+            t_scale = float(np.median(entry["depth"][good] / z_unit[good]))
+            # Plausibility clamp: a near-zero-baseline revisit triangulates
+            # at huge unit depths, and one bad depth ratio can claim a
+            # kilometer-scale loop translation. The true magnitude cannot
+            # exceed the drifted estimate plus a few odometry steps.
+            recent = [np.linalg.norm(t) for _, t in self.rel_poses[-10:]]
+            step_scale = float(np.median(recent)) if recent else 1.0
+            if not np.isfinite(t_scale):
+                t_scale = guess_norm
+            t_scale = min(t_scale, guess_norm + 5.0 * step_scale)
+        else:
+            # Fallback: magnitude from the current estimate (drift and all)
+            # — better than rejecting the rotation constraint outright.
+            t_scale = guess_norm
         R_m_lc, t_m_lc = lie.se3_inverse(
             jnp.asarray(R_lc), jnp.asarray(np.asarray(rr.t) * t_scale, jnp.float32)
         )
-        self._optimize_skeleton_graph(
-            matched_frame, cur, np.asarray(R_m_lc), np.asarray(t_m_lc)
+        self.loop_edges.append(
+            (matched_frame, cur, np.asarray(R_m_lc), np.asarray(t_m_lc))
         )
+        if len(self.loop_edges) > self.MAX_LOOP_EDGES:
+            # Evict by keeping the longest-range edges (they anchor the
+            # trajectory across epochs — exactly the constraint odometry
+            # cannot provide) plus the newest few for local consistency.
+            newest = self.loop_edges[-8:]
+            rest = sorted(
+                self.loop_edges[:-8], key=lambda e: e[1] - e[0], reverse=True
+            )[: self.MAX_LOOP_EDGES - 8]
+            self.loop_edges = sorted(
+                rest + newest, key=lambda e: e[1]
+            )
+        self._optimize_skeleton_graph(matched_frame, cur)
         return LoopClosureEvent(
             frame=cur, matched_frame=matched_frame, score=score, num_inliers=n_in
         )
@@ -581,16 +662,17 @@ class SlamSystem:
         """Keyframe node set for the loop correction, capped at
         max_graph_nodes by stride subsampling (loop endpoints + the anchor
         frame 0 always survive)."""
+        edge_ends = {f for e in self.loop_edges for f in (e[0], e[1])}
+        forced = edge_ends | {0, matched_frame, cur}
         nodes = sorted(
-            f for f in (set(self.kf_frames) | {0, matched_frame, cur})
-            if f < len(self.poses)
+            f for f in (set(self.kf_frames) | forced) if f < len(self.poses)
         )
         cap = self.config.loop.max_graph_nodes
         if len(nodes) <= cap:
             return nodes
         stride = -(-len(nodes) // cap)  # ceil
-        keep = set(nodes[::stride]) | {0, matched_frame, cur, nodes[-1]}
-        return sorted(keep)
+        keep = set(nodes[::stride]) | forced | {nodes[-1]}
+        return sorted(f for f in keep if f < len(self.poses))
 
     def _compose_rel(self, a: int, b: int) -> np.ndarray:
         """Raw odometry composition T_cb_ca (a < b) from rel_poses."""
@@ -603,9 +685,12 @@ class SlamSystem:
             T = M @ T
         return T
 
-    def _optimize_skeleton_graph(
-        self, matched_frame: int, cur: int, R_m_lc: np.ndarray, t_m_lc: np.ndarray
-    ) -> None:
+    # Bounded memory of accepted loop edges: every solve re-applies ALL of
+    # them (the graph is rebuilt from raw odometry each event, so a solve
+    # carrying only the newest edge would revert earlier corrections).
+    MAX_LOOP_EDGES = 24
+
+    def _optimize_skeleton_graph(self, matched_frame: int, cur: int) -> None:
         # A BA solve dispatched from an earlier frame may still be in
         # flight; apply it to the (pre-correction) trajectory it was
         # optimized against BEFORE correcting. Otherwise _apply_pending_ba
@@ -613,6 +698,23 @@ class SlamSystem:
         # ones, leaving a discontinuity the rest of the trajectory chains
         # across.
         self._apply_pending_ba()
+
+        # Correction gate: skip the solve while every retained loop edge
+        # already agrees with the trajectory to within the gate — repeated
+        # re-optimization against agreeing-but-noisy edges only jitters the
+        # poses (measured ~1 m of injected noise over a 270-frame loop run
+        # with zero real drift). A genuinely inconsistent edge (real drift,
+        # tracking glitch) exceeds the gate and triggers the correction.
+        gate = self.config.loop.correction_gate_m
+        residuals = []
+        for fi, fj, _R_lc, t_lc in self.loop_edges:
+            if fi >= len(self.poses) or fj >= len(self.poses):
+                continue
+            T_ij = np.linalg.inv(self.poses[fi]) @ self.poses[fj]
+            residuals.append(float(np.linalg.norm(T_ij[:3, 3] - t_lc)))
+        if not residuals or max(residuals) < gate:
+            return
+
         nodes = self._skeleton_nodes(matched_frame, cur)
         n = len(nodes)
         node_pos = {f: k for k, f in enumerate(nodes)}
@@ -630,19 +732,22 @@ class SlamSystem:
             R_meas.append(T_ab[:3, :3])
             t_meas.append(T_ab[:3, 3])
             weight.append(1.0)
-        # The loop edge.
-        edge_i.append(node_pos[matched_frame])
-        edge_j.append(node_pos[cur])
-        R_meas.append(R_m_lc)
-        t_meas.append(t_m_lc)
-        weight.append(5.0)
+        # All retained loop edges whose endpoints survived skeletonization
+        # (endpoints are forced into the node set by _skeleton_nodes).
+        for fi, fj, R_lc, t_lc in self.loop_edges:
+            if fi in node_pos and fj in node_pos:
+                edge_i.append(node_pos[fi])
+                edge_j.append(node_pos[fj])
+                R_meas.append(R_lc)
+                t_meas.append(t_lc)
+                weight.append(5.0)
 
         # Pad nodes/edges to power-of-two buckets: each loop event would
         # otherwise compile a fresh executable for its exact node count.
         # Dummy nodes are identity poses touched only by the LM damping;
         # dummy edges carry weight 0.
         n_pad = max(8, 1 << (n - 1).bit_length())
-        e_pad = n_pad + 8
+        e_pad = n_pad + self.MAX_LOOP_EDGES + 8
         T_old = np.stack([self.poses[f] for f in nodes])
         T_old_p = np.concatenate(
             [T_old, np.tile(np.eye(4), (n_pad - n, 1, 1))], axis=0

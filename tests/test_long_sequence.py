@@ -93,3 +93,74 @@ def test_500_frames_bounded_state_and_wrapped_loop_closures():
     traj = slam.trajectory()
     assert traj.shape == (n_frames, 4, 4)
     assert np.isfinite(traj).all()
+
+
+def test_loop_closure_repairs_odometry_error_at_long_horizon():
+    """Loop closure must EARN its place: after a real odometry fault, the
+    corrected trajectory must re-align revisits with their first-epoch
+    twins measurably better than odometry alone (round-3 verdict #7 — the
+    structural test above cannot show this because deterministic ping-pong
+    odometry is periodic and essentially drift-free between epochs).
+
+    Fault injection: five consecutive frames are blacked out around a
+    ping-pong turnaround; the tracker flags them degenerate and emits
+    constant-velocity fallback steps, extrapolating FORWARD while the true
+    motion reverses — a persistent multi-meter offset for everything after.
+    Loop edges (metric scale recovered from stored keyframe depths by
+    depth-ratio triangulation) connect post-fault keyframes to pre-fault
+    ones, and the persistent-edge pose graph must pull the trajectory back.
+    """
+    params = sp.load_params()
+    images = [
+        kitti.load_frame(f"{BASE}/{160 + i:06d}.png") for i in range(N_IMAGES)
+    ]
+    n_frames = 270
+    rng = np.random.default_rng(42)
+    stream = [
+        np.clip(
+            images[img_of(f)]
+            + rng.normal(0, 0.02, images[0].shape).astype(np.float32),
+            0,
+            1,
+        ).astype(np.float32)
+        for f in range(n_frames)
+    ]
+    for g in (88, 89, 90, 91, 92):  # spans the f=90 turnaround
+        stream[g] = np.zeros_like(stream[g]) + 0.02
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        loop=dataclasses.replace(
+            DEFAULT_CONFIG.loop,
+            max_db_frames=128,  # large enough to retain pre-fault keyframes
+            min_frame_gap=12,
+            min_score=0.3,
+            max_graph_nodes=32,
+        ),
+    )
+
+    def run(lc):
+        slam = SlamSystem(params, cfg, ba_every=0, enable_loop_closure=lc)
+        for f in stream:
+            slam.process(f)
+        return slam.trajectory()[:, :3, 3]
+
+    P_on = run(True)
+    P_off = run(False)
+
+    def epoch_drift(P):
+        """Distance of late mid-corridor frames from their first-epoch
+        (pre-fault) same-image twins — the pseudo-GT says it should be 0."""
+        ds = []
+        for f in range(160, n_frames):
+            if 3 <= img_of(f) <= 7:
+                ds.append(np.linalg.norm(P[f] - P[f % PERIOD]))
+        return np.array(ds)
+
+    d_on = epoch_drift(P_on)
+    d_off = epoch_drift(P_off)
+    # The fault leaves odometry ~2 m off its first epoch forever; loop
+    # closure must recover a solid fraction of it (measured ~38%).
+    assert d_on.mean() < 0.8 * d_off.mean(), (d_on.mean(), d_off.mean())
+    # And not by corrupting the rest: corrected drift stays bounded.
+    assert d_on.max() < d_off.max() + 1.5, (d_on.max(), d_off.max())
