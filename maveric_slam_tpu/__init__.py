@@ -14,3 +14,16 @@ adjustment with Schur elimination, BoW loop closure), built TPU-first:
 """
 
 __version__ = "0.1.0"
+
+# XLA:TPU's default f32 matmul runs bf16 MXU passes; for the geometry /
+# BA / SVD math that is a silent ~0.4% (worst measured 119%) error — found
+# by tools/tpu_parity.py, where the Pallas svd3 kernel matched numpy to
+# 3e-5 while the jnp reference was off by up to 1.19x. "highest" restores
+# true f32 matmuls for f32 operands. The SuperPoint int8 path is
+# unaffected: it feeds bf16 carriers explicitly and accumulates f32 via
+# preferred_element_type, so the conv throughput keeps its MXU fast path
+# (measured: tracking fps unchanged).
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")
+del _jax

@@ -73,7 +73,7 @@ def extract_quantized(
     fc = config.frontend
     semi_q, desc_q, scales = sp.superpoint_int8(params, image[None])
     semi_q, desc_q = semi_q[0], desc_q[0]
-    if _use_pallas() and not apply_nms:
+    if _use_pallas():
         from ..ops.pallas_kernels import fused_detector_postproc
 
         probs_f, idx_f, xy_f = fused_detector_postproc(
@@ -87,6 +87,13 @@ def extract_quantized(
             indices=idx_f.reshape(fc.grid_h, fc.grid_w),
         )
         xy = xy_f.reshape(fc.grid_h, fc.grid_w, 2)
+        if apply_nms:
+            # Chained after the fused kernel (the grid is 24x80 — the
+            # vectorized suppression is a handful of rolls XLA fuses, so
+            # NMS no longer forces the slow jnp detector path). xy is
+            # computed per-cell winner and suppression only dustbins
+            # cells, so pre-NMS xy is bit-identical for survivors.
+            grid = nms_ops.quadrant_nms(grid, min_dist=fc.nms_dist)
     else:
         grid = st.approx_softmax_grid(
             semi_q, scales["semi_scale"], fc.exp_taylor_degree

@@ -42,6 +42,60 @@ def shard_database(db: LoopDatabase, mesh: Mesh) -> LoopDatabase:
     )
 
 
+def sharded_add_frame(
+    db: LoopDatabase, word_ids: jnp.ndarray, frame, mesh: Mesh
+) -> LoopDatabase:
+    """lcd.add_frame on a frame-axis-sharded database: the ring slot lives
+    on exactly one shard, which writes the multi-hot row locally; the
+    cursor is replicated. No communication."""
+    ax = tuple(mesh.axis_names)
+    rows = db.multihot.shape[0] // mesh.size
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(ax), P(ax), P(ax), P(ax), P(), P(), P()),
+        out_specs=(P(ax), P(ax), P(ax), P(ax), P()),
+        check_vma=False,
+    )
+    def run(multihot, counts, frames, valid, ids, frame_num, slot):
+        v = multihot.shape[1]
+        ok = ids >= 0
+        safe = jnp.where(ok, ids, 0)
+        row = jnp.zeros((v,), jnp.int8).at[safe].max(ok.astype(jnp.int8))
+        shard = jax.lax.axis_index(ax[0])
+        local = slot - shard * rows
+        mine = (local >= 0) & (local < rows)
+        idx = jnp.where(mine, local, 0)
+        multihot = multihot.at[idx].set(
+            jnp.where(mine, row, multihot[idx])
+        )
+        counts = counts.at[idx].set(
+            jnp.where(mine, jnp.sum(row.astype(jnp.int32)), counts[idx])
+        )
+        frames = frames.at[idx].set(jnp.where(mine, frame_num, frames[idx]))
+        valid = valid.at[idx].set(jnp.where(mine, True, valid[idx]))
+        next_slot = (slot + 1) % (rows * jax.lax.psum(1, ax[0]))
+        return multihot, counts, frames, valid, next_slot
+
+    multihot, counts, frames, valid, next_slot = run(
+        db.multihot,
+        db.counts,
+        db.frames,
+        db.valid,
+        word_ids,
+        jnp.asarray(frame, jnp.int32),
+        db.next_slot,
+    )
+    return LoopDatabase(
+        multihot=multihot,
+        counts=counts,
+        frames=frames,
+        valid=valid,
+        next_slot=next_slot,
+    )
+
+
 class ShardedLoopResult(NamedTuple):
     best: jnp.ndarray  # () int32 global slot of best candidate (-1 none)
     best_frame: jnp.ndarray  # () int32 frame number of best (-1 none)

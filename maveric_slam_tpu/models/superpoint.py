@@ -159,8 +159,18 @@ def _requant(acc_f32, in_scale, w_scale, bias, out_scale, relu: bool):
     s_in*s_w, adds it in the integer domain, then applies a single fp32
     multiplier M = s_in*s_w/s_out with round-half-even. Zero-points are 0
     throughout (verified at extraction time). Validated 98% bit-exact against
-    the reference's baked grids (include/data/quantized/quantized_image0.h);
-    residual differences are +-1 LSB rounding noise.
+    the reference's baked grids (include/data/quantized/quantized_image0.h).
+
+    The residual ~2% is NOT a requant artifact: rounding mode (half-even /
+    half-away / half-up) does not change the match fraction, and an
+    independent torch emulation of this exact graph agrees with this
+    implementation 100.0% bitwise on the same input
+    (tests/test_superpoint.py::TestInt8DivergenceLocalization). The
+    divergence enters before conv1a — the reference baked its grids through
+    torchvision tensor Resize (superpoint_inference.py:607), whose exact
+    output ulps depend on the torchvision build; input pixels on
+    round(img/s_in) boundaries flip by 1 LSB and scatter +-1 LSB through
+    the stack.
     """
     bias_q = jnp.round(bias / (in_scale * w_scale))
     m = (in_scale * w_scale) / out_scale

@@ -54,7 +54,15 @@ def _detector_kernel(scale_ref, semi_ref, probs_ref, idx_ref, xy_ref, *, degree,
     denom = jnp.sum(expx, axis=-1, keepdims=True) + FLT_MIN  # (C, 1)
     point = expx[:, :DUSTBIN]  # (C, 64)
     max_exp = jnp.max(point, axis=-1, keepdims=True)
-    arg = jnp.argmax(point, axis=-1)[:, None].astype(jnp.int32)  # (C, 1)
+    # First-max tie-break, explicitly: Mosaic's argmax lowering returns the
+    # LAST maximal index on ties, while the jnp/XLA reference (and the
+    # scalar C loop, top_N.c:78 `>` scan) keep the FIRST — the approx-exp
+    # values are frequently exactly equal across neighboring channels, so
+    # plain argmax diverged on 85/1920 real-frame cells (tools/tpu_parity).
+    chan = jax.lax.broadcasted_iota(jnp.int32, point.shape, 1)
+    arg = jnp.min(
+        jnp.where(point == max_exp, chan, DUSTBIN), axis=-1, keepdims=True
+    )
     has = max_exp > 0.0
     idx = jnp.where(has, arg, DUSTBIN)
     probs = jnp.where(has, max_exp / denom, -1.0)

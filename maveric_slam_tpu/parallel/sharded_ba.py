@@ -53,6 +53,7 @@ def sharded_bundle_adjust(
     iterations: int = 10,
     damping: float = 1e-4,
     huber_delta: float = 2.0,
+    num_anchored: int = 1,
 ) -> Tuple[ba.BAProblem, jnp.ndarray]:
     """Distributed damped GN. Returns (solved problem, per-iteration cost).
 
@@ -109,7 +110,9 @@ def sharded_bundle_adjust(
             S = jax.lax.psum(S_part, ax)
             rhs = jax.lax.psum(rhs_part, ax)
 
-            dx_p = ba.solve_reduced(S, rhs)  # replicated solve
+            dx_p = ba.solve_reduced(
+                S, rhs, num_anchored=num_anchored
+            )  # replicated solve
             dx_l = ba.back_substitute(A_inv, b_l, W, dx_p)  # local
 
             new_local = ba.apply_update(local, dx_p, dx_l)

@@ -97,13 +97,23 @@ class SlamSystem:
         ba_every: int = 4,
         enable_loop_closure: bool = True,
         fetch_delay: int = 0,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh. When given, the engine runs in
+        distributed mode: window BA shards landmarks over the mesh with one
+        psum of the reduced pose system per iteration (parallel/sharded_ba),
+        the LCD database shards its frame axis (loopclosure/sharded_lcd),
+        and the covisibility pool shards its word axis
+        (mapping/sharded_pool). The serial tracking step stays per-device
+        (its state is a single camera's). Trajectories match single-device
+        mode to collective-reduction-order tolerance (tests/test_mesh_slam)."""
         self.params = params
         self.config = config
         self.key = jax.random.PRNGKey(seed)
         self.ba_every = ba_every
         self.enable_loop_closure = enable_loop_closure
         self.fetch_delay = fetch_delay
+        self.mesh = mesh
         # Device->host materialization pool (see process()): overlaps the
         # per-frame transfer round-trips with compute and each other.
         self._fetch_pool = ThreadPoolExecutor(max_workers=4)
@@ -138,6 +148,13 @@ class SlamSystem:
             self.db = lcd.create_database(
                 config.loop.max_db_frames, self.config.loop.vocab_size
             )
+            if mesh is not None:
+                from .loopclosure import sharded_lcd
+                from .mapping import sharded_pool
+
+                assert config.loop.max_db_frames % mesh.size == 0
+                assert config.loop.vocab_size % mesh.size == 0
+                self.db = sharded_lcd.shard_database(self.db, mesh)
             # Host mirror of the db ring cursor (reading db.next_slot per
             # keyframe would be a blocking device fetch).
             self._next_slot = 0
@@ -151,29 +168,47 @@ class SlamSystem:
             self.pool = feature_pool.create(
                 config.loop.vocab_size, window=config.pool.max_frames
             )
-            # One fused device program per frame: tracking step + BoW word
-            # assignment + pool observe/age-out (the round-2 design ran
-            # them as four separate dispatches with host round-trips
-            # between — round-2 verdict, weak #5). params and vocab are
-            # trace-time constants of the closure; state and pool are
-            # donated.
             params_c, vocab_c, config_c = params, self.vocab, config
+            if mesh is not None:
+                self.pool = sharded_pool.shard_pool(self.pool, mesh)
 
-            def _fused(state, pool, image, fidx):
-                state, step = trk.track_step.__wrapped__(
-                    params_c, state, image, config_c
-                )
-                wa = vocab_lib.assign_words(
-                    step.desc_top, step.desc_scale, step.cells_new >= 0, vocab_c
-                )
-                pool = feature_pool.observe_batch(pool, wa.word_id, fidx)
-                pool = feature_pool.remove_old(pool, fidx)
-                # + 0 forces a distinct output buffer: the host-side copy of
-                # the sighting counts must survive the next step's donation
-                # of `pool`.
-                return state, pool, step, wa, pool.num_sightings + 0
+                # Mesh mode: the pool ops run as explicit shard_map
+                # dispatches (the word axis is sharded), so the fused
+                # per-frame program covers tracking + word assignment only.
+                def _fused_mesh(state, image, fidx):
+                    state, step = trk.track_step.__wrapped__(
+                        params_c, state, image, config_c
+                    )
+                    wa = vocab_lib.assign_words(
+                        step.desc_top, step.desc_scale, step.cells_new >= 0,
+                        vocab_c,
+                    )
+                    return state, step, wa
 
-            self._fused_step = jax.jit(_fused, donate_argnums=(0, 1))
+                self._fused_step_mesh = jax.jit(_fused_mesh, donate_argnums=(0,))
+            else:
+                # One fused device program per frame: tracking step + BoW
+                # word assignment + pool observe/age-out (the round-2 design
+                # ran them as four separate dispatches with host round-trips
+                # between — round-2 verdict, weak #5). params and vocab are
+                # trace-time constants of the closure; state and pool are
+                # donated.
+                def _fused(state, pool, image, fidx):
+                    state, step = trk.track_step.__wrapped__(
+                        params_c, state, image, config_c
+                    )
+                    wa = vocab_lib.assign_words(
+                        step.desc_top, step.desc_scale, step.cells_new >= 0,
+                        vocab_c,
+                    )
+                    pool = feature_pool.observe_batch(pool, wa.word_id, fidx)
+                    pool = feature_pool.remove_old(pool, fidx)
+                    # + 0 forces a distinct output buffer: the host-side
+                    # copy of the sighting counts must survive the next
+                    # step's donation of `pool`.
+                    return state, pool, step, wa, pool.num_sightings + 0
+
+                self._fused_step = jax.jit(_fused, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------ #
 
@@ -185,7 +220,22 @@ class SlamSystem:
             self.poses.append(np.eye(4))
             return
 
-        if self.enable_loop_closure:
+        if self.enable_loop_closure and self.mesh is not None:
+            from .mapping import sharded_pool
+
+            self.state, step, wa_full = self._fused_step_mesh(
+                self.state, img, jnp.int32(self.frame_idx)
+            )
+            wa = wa_full.word_id
+            self.pool = sharded_pool.observe_batch(
+                self.pool, wa, self.frame_idx, self.mesh
+            )
+            self.pool = sharded_pool.remove_old(
+                self.pool, self.frame_idx, self.mesh
+            )
+            sightings = self.pool.num_sightings
+            _async_to_host((step, wa, sightings))
+        elif self.enable_loop_closure:
             self.state, self.pool, step, wa_full, sightings = self._fused_step(
                 self.state, self.pool, img, jnp.int32(self.frame_idx)
             )
@@ -305,7 +355,7 @@ class SlamSystem:
             priorities=self._landmark_priorities(),
         )
         n_l = int((mask.sum(1) >= 2).sum())
-        if n_l < 16:
+        if n_l < self.BA_MIN_LANDMARKS:
             return
 
         # Camera-from-world poses for the window.
@@ -339,15 +389,30 @@ class SlamSystem:
             uv=jnp.asarray(uv),
             mask=jnp.asarray(mask),
         )
-        solved, stats = ba.bundle_adjust(
-            problem,
-            iterations=self.config.ba.max_iterations,
-            damping=self.config.ba.lm_damping,
-            huber_delta=self.config.ba.huber_delta,
-            # Two anchors: gauge + monocular scale (a single anchor lets BA
-            # slide the window scale, which shows up directly as ATE drift).
-            num_anchored=2,
-        )
+        if self.mesh is not None:
+            from .parallel import sharded_ba
+
+            # Landmark capacity must tile the mesh (config sizing contract).
+            assert problem.X.shape[0] % self.mesh.size == 0
+            solved, _costs = sharded_ba.sharded_bundle_adjust(
+                sharded_ba.shard_problem(problem, self.mesh),
+                self.mesh,
+                iterations=self.config.ba.max_iterations,
+                damping=self.config.ba.lm_damping,
+                huber_delta=self.config.ba.huber_delta,
+                num_anchored=2,
+            )
+        else:
+            solved, stats = ba.bundle_adjust(
+                problem,
+                iterations=self.config.ba.max_iterations,
+                damping=self.config.ba.lm_damping,
+                huber_delta=self.config.ba.huber_delta,
+                # Two anchors: gauge + monocular scale (a single anchor lets
+                # BA slide the window scale, which shows up directly as ATE
+                # drift).
+                num_anchored=2,
+            )
         # ONE packed device buffer for the whole solve: on high-RTT
         # (tunneled) runtimes every separate np.asarray materialization is
         # a full round-trip, and the apply used to fetch R, t, X as
@@ -386,6 +451,9 @@ class SlamSystem:
     # carry at least FB_MIN_OBS in-window observations.
     FB_ERR_PX = 1.0
     FB_MIN_OBS = 3
+    # Minimum well-observed landmarks before a window BA solve is worth
+    # dispatching (small-scene deployments lower it).
+    BA_MIN_LANDMARKS = 16
 
     def _feedback_landmarks(
         self, R_all, t_all, X_opt, uv, mask, tids, n_real: int
@@ -514,16 +582,33 @@ class SlamSystem:
 
         # wa is the device-resident word-id vector from the fused step
         # (re-uploading the host copy would cost a transfer per keyframe).
-        res = lcd.query(
-            self.db,
-            wa,
-            current_frame=jnp.int32(fidx),
-            min_frame_gap=cfg.min_frame_gap,
-            min_score=cfg.min_score,
-        )
-        _async_to_host((res.best, res.best_frame, res.best_score))
-        slot = self._next_slot
-        self.db = lcd.add_frame(self.db, wa, jnp.int32(fidx))
+        if self.mesh is not None:
+            from .loopclosure import sharded_lcd
+
+            res = sharded_lcd.sharded_query(
+                self.db,
+                wa,
+                self.mesh,
+                jnp.int32(fidx),
+                min_frame_gap=cfg.min_frame_gap,
+                min_score=cfg.min_score,
+            )
+            _async_to_host((res.best, res.best_frame, res.best_score))
+            slot = self._next_slot
+            self.db = sharded_lcd.sharded_add_frame(
+                self.db, wa, jnp.int32(fidx), self.mesh
+            )
+        else:
+            res = lcd.query(
+                self.db,
+                wa,
+                current_frame=jnp.int32(fidx),
+                min_frame_gap=cfg.min_frame_gap,
+                min_score=cfg.min_score,
+            )
+            _async_to_host((res.best, res.best_frame, res.best_score))
+            slot = self._next_slot
+            self.db = lcd.add_frame(self.db, wa, jnp.int32(fidx))
         self._next_slot = (slot + 1) % cfg.max_db_frames
         cur_entry = {
             "frame": fidx,

@@ -88,6 +88,11 @@ def main() -> int:
         arr = np.asarray(x)
         return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
 
+    def globalize2(x, m, spec):
+        sh = NamedSharding(m, spec)
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+
     ax = mesh_lib.LANDMARK_AXIS
     gproblem = ba.BAProblem(
         K=globalize(problem.K, P()),
@@ -114,9 +119,44 @@ def main() -> int:
         np.testing.assert_allclose(
             np.asarray(shard.data), ref_X[sl], rtol=0, atol=2e-3
         )
+    # --- word-axis-sharded feature pool across both processes ----------- #
+    from maveric_slam_tpu.mapping import feature_pool, sharded_pool
+
+    rng = np.random.default_rng(5)
+    vocab = 2048
+    p_ref = feature_pool.create(vocab, window=4)
+    pmesh = mesh_lib.global_mesh(axis=sharded_pool.WORD_AXIS)
+    p_sh = feature_pool.DevicePool(
+        first_seen=globalize2(p_ref.first_seen, pmesh, P(sharded_pool.WORD_AXIS)),
+        last_seen=globalize2(p_ref.last_seen, pmesh, P(sharded_pool.WORD_AXIS)),
+        num_sightings=globalize2(
+            p_ref.num_sightings, pmesh, P(sharded_pool.WORD_AXIS)
+        ),
+        coords=globalize2(p_ref.coords, pmesh, P(sharded_pool.WORD_AXIS)),
+        window=globalize2(p_ref.window, pmesh, P()),
+    )
+    for f in range(6):
+        ids = rng.integers(-1, vocab, (64,)).astype(np.int32)
+        jids = globalize2(ids, pmesh, P())
+        p_ref = feature_pool.observe_batch(p_ref, jnp.asarray(ids), jnp.int32(f))
+        p_ref = feature_pool.remove_old(p_ref, jnp.int32(f))
+        p_sh = sharded_pool.observe_batch(p_sh, jids, f, pmesh)
+        p_sh = sharded_pool.remove_old(p_sh, f, pmesh)
+    q = rng.integers(-1, vocab, (48,)).astype(np.int32)
+    w_ref = np.asarray(feature_pool.covisibility_weights(p_ref, jnp.asarray(q)))
+    w_sh = sharded_pool.covisibility_weights(
+        p_sh, globalize2(q, pmesh, P()), pmesh
+    )
+    np.testing.assert_array_equal(np.asarray(w_sh.addressable_data(0)), w_ref)
+    for shard in p_sh.num_sightings.addressable_shards:
+        sl = shard.index[0]
+        np.testing.assert_array_equal(
+            np.asarray(shard.data), np.asarray(p_ref.num_sightings)[sl]
+        )
+
     print(
         f"OK p{pid}: {nproc} processes x {n_local} devices, "
-        f"cost {cost_curve[0]:.4f} -> {cost_curve[-1]:.6f}",
+        f"cost {cost_curve[0]:.4f} -> {cost_curve[-1]:.6f}, pool sharded ok",
         flush=True,
     )
     return 0

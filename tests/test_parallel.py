@@ -200,3 +200,70 @@ class TestShardedLCD:
             np.testing.assert_allclose(
                 float(got.best_score), float(ref.best_score), atol=1e-6
             )
+
+
+class TestShardedAddFrame:
+    def test_sharded_ring_matches_single_device(self, mesh8):
+        """Build the database entirely through sharded_add_frame (including
+        ring wraparound) — the table must equal the single-device build."""
+        import jax.numpy as jnp
+
+        from maveric_slam_tpu.loopclosure import lcd, sharded_lcd
+        from maveric_slam_tpu.parallel import mesh as mesh_lib
+
+        rng = np.random.default_rng(29)
+        cap, vocab = 32, 1024
+        db_ref = lcd.create_database(cap, vocab)
+        lmesh = mesh_lib.make_mesh(8, axis=sharded_lcd.FRAME_AXIS)
+        db_sh = sharded_lcd.shard_database(lcd.create_database(cap, vocab), lmesh)
+        for f in range(cap + 5):
+            ids = rng.choice(vocab, 48, replace=False).astype(np.int32)
+            db_ref = lcd.add_frame(db_ref, jnp.asarray(ids), jnp.int32(f))
+            db_sh = sharded_lcd.sharded_add_frame(
+                db_sh, jnp.asarray(ids), jnp.int32(f), lmesh
+            )
+        np.testing.assert_array_equal(
+            np.asarray(db_sh.multihot), np.asarray(db_ref.multihot)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(db_sh.counts), np.asarray(db_ref.counts)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(db_sh.frames), np.asarray(db_ref.frames)
+        )
+        assert int(db_sh.next_slot) == int(db_ref.next_slot)
+
+
+class TestShardedPool:
+    def test_word_sharded_pool_matches_single_device(self, mesh8):
+        """observe/remove_old/covisibility on the word-axis-sharded pool
+        must equal the single-device ops exactly over a multi-frame run."""
+        import jax.numpy as jnp
+
+        from maveric_slam_tpu.mapping import feature_pool, sharded_pool
+        from maveric_slam_tpu.parallel import mesh as mesh_lib
+
+        rng = np.random.default_rng(31)
+        vocab, window = 2048, 4
+        pmesh = mesh_lib.make_mesh(8, axis=sharded_pool.WORD_AXIS)
+        p_ref = feature_pool.create(vocab, window=window)
+        p_sh = sharded_pool.shard_pool(
+            feature_pool.create(vocab, window=window), pmesh
+        )
+        for f in range(12):
+            ids = rng.integers(-1, vocab, (96,)).astype(np.int32)
+            p_ref = feature_pool.observe_batch(p_ref, jnp.asarray(ids), jnp.int32(f))
+            p_ref = feature_pool.remove_old(p_ref, jnp.int32(f))
+            p_sh = sharded_pool.observe_batch(p_sh, jnp.asarray(ids), f, pmesh)
+            p_sh = sharded_pool.remove_old(p_sh, f, pmesh)
+            q = rng.integers(-1, vocab, (64,)).astype(np.int32)
+            w_ref = feature_pool.covisibility_weights(p_ref, jnp.asarray(q))
+            w_sh = sharded_pool.covisibility_weights(p_sh, jnp.asarray(q), pmesh)
+            np.testing.assert_array_equal(np.asarray(w_sh), np.asarray(w_ref))
+        for name in ("first_seen", "last_seen", "num_sightings"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(p_sh, name)),
+                np.asarray(getattr(p_ref, name)),
+                err_msg=name,
+            )
+        assert int(feature_pool.check_invariant(p_sh, jnp.int32(11))) == 0

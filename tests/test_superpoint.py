@@ -104,3 +104,73 @@ class TestFloatPath:
         err = np.abs(np.asarray(semi_f[0]) - deq)
         # Quantization error across the net accumulates to a few LSB.
         assert np.median(err) < 2.0 * float(scales["semi_scale"])
+
+
+class TestInt8DivergenceLocalization:
+    """Round-3 verdict #5: localize the residual ~2% bit-mismatch vs the
+    reference's baked grids. Verdict of the investigation:
+
+    - The requant ROUNDING MODE is not the cause: half-even, half-away and
+      half-up all produce the identical 98.05%/97.68% exact-match fractions
+      vs the baked grids (and a float64 multiplier makes things WORSE —
+      qnnpack's multiplier is fp32).
+    - The network + requant chain is EXACT: an independent torch emulation
+      of the same qnnpack graph (f32-carried integer convs, quantized bias,
+      fp32 multiplier, round-half-even) agrees with the JAX int8 path
+      100.0% bitwise on the same input (the test below).
+    - The divergence therefore enters BEFORE conv1a, at the input resize:
+      the reference baked its grids through torchvision tensor Resize
+      (superpoint_inference.py:607), whose exact ulps depend on the
+      torchvision build; pixels landing on round(img/s_in) boundaries flip
+      the int8 input by 1 LSB and scatter +-1 LSB through the stack. Our
+      half-pixel bilinear is the closest reconstruction measured (98.05%
+      semi exact vs 93.6% for torch.nn.functional.interpolate and 18.6%
+      for cv2.INTER_AREA).
+    """
+
+    def test_network_and_requant_bitwise_exact_vs_independent_emulation(
+        self, params, img0
+    ):
+        import torch
+
+        semi_j, desc_j, _ = sp.superpoint_int8(params, np.asarray(img0)[None])
+        semi_j = np.asarray(semi_j[0])
+        desc_j = np.asarray(desc_j[0])
+
+        raw = np.load(sp._DEFAULT_WEIGHTS)
+        s_in = np.float32(raw["input_scale"])
+        x = torch.from_numpy(
+            np.clip(np.round(np.asarray(img0) / s_in), -128, 127).astype(
+                np.float32
+            )
+        )[None, None]
+
+        def qconv(x, name, in_scale, relu):
+            w = torch.from_numpy(raw[f"{name}_w"].astype(np.float32))
+            pad = 1 if w.shape[-1] == 3 else 0
+            acc = torch.nn.functional.conv2d(x, w, padding=pad)
+            wsc = np.float32(raw[f"{name}_wscale"])
+            osc = np.float32(raw[f"{name}_oscale"])
+            b = torch.from_numpy(raw[f"{name}_b"].astype(np.float32))
+            bias_q = torch.round(
+                b / torch.tensor(np.float32(in_scale) * wsc)
+            )
+            m = torch.tensor((np.float32(in_scale) * wsc) / osc)
+            q = torch.round((acc + bias_q[None, :, None, None]) * m)
+            lo = 0.0 if relu else -128.0
+            return torch.clamp(q, lo, 127.0), osc
+
+        with torch.no_grad():
+            sc = s_in
+            for name in sp._ENCODER:
+                x, sc = qconv(x, name, sc, True)
+                if name in ("conv1b", "conv2b", "conv3b"):
+                    x = torch.nn.functional.max_pool2d(x, 2, 2)
+            pa, sca = qconv(x, "convPa", sc, True)
+            semi_t, _ = qconv(pa, "convPb", sca, False)
+            da, scd = qconv(x, "convDa", sc, True)
+            desc_t, _ = qconv(da, "convDb", scd, False)
+        semi_t = semi_t[0].permute(1, 2, 0).numpy().astype(np.int8)
+        desc_t = desc_t[0].permute(1, 2, 0).numpy().astype(np.int8)
+        np.testing.assert_array_equal(semi_j, semi_t)
+        np.testing.assert_array_equal(desc_j, desc_t)
