@@ -184,12 +184,46 @@ def bench_window_ba():
         return relin_fn(R_i, t_i, R_j, t_j, R_i, t_i)[1]
 
     relin_sec = _timeit(run_relin, iters=50)
+
+    # Sparse factor-list solver at realistic ~35% observation density
+    # (backend.sparse_ba): measures whether skipping the masked 65% of the
+    # dense grid's Jacobian work pays for the scatter-adds at this size.
+    from maveric_slam_tpu.backend import sparse_ba
+
+    rng = np.random.default_rng(5)
+    keep = rng.random((L, P)) < 0.35
+    keep[:, :2] = True  # keep it solvable
+    sparse_prob = sparse_ba.from_dense(
+        jax.tree.map(np.asarray, problem)._replace(
+            mask=np.asarray(problem.mask) & keep
+        )
+    )
+    sparse_prob = jax.tree.map(jax.device_put, sparse_prob)
+    sparse_solve = jax.jit(partial(sparse_ba.bundle_adjust, iterations=iters))
+
+    def run_sparse():
+        solved, costs = sparse_solve(sparse_prob)
+        return costs
+
+    sparse_sec = _timeit(run_sparse, iters=20)
+
+    dense35 = jax.tree.map(jax.device_put, problem)._replace(
+        mask=jnp.asarray(np.asarray(problem.mask) & keep)
+    )
+
+    def run_dense35():
+        solved, stats = solve(dense35)
+        return stats.cost
+
+    dense35_sec = _timeit(run_dense35, iters=20)
     return {
         "metric": "window_ba_ms_per_iteration",
         "value": round(sec * 1e3 / iters, 3),
         "unit": f"ms/iter at {L}x{P}",
         "landmark_iters_per_s": round(L * iters / sec, 0),
         "relin_factors_per_s": round(F / relin_sec, 0),
+        "dense_ms_per_iter_35pct": round(dense35_sec * 1e3 / iters, 3),
+        "sparse_ms_per_iter_35pct": round(sparse_sec * 1e3 / iters, 3),
     }
 
 

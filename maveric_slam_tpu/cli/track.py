@@ -37,6 +37,14 @@ def main() -> None:
     )
     parser.add_argument("--resume", default=None, help="restore state first")
     parser.add_argument("--plot", action="store_true")
+    parser.add_argument(
+        "--mesh",
+        type=int,
+        default=0,
+        help="run the engine distributed over an N-device mesh (window BA "
+        "landmark-sharded, LCD frame-sharded, pool word-sharded); 0 = "
+        "single device",
+    )
     args = parser.parse_args()
 
     import numpy as np
@@ -57,11 +65,17 @@ def main() -> None:
         skip=args.skip,
     )
     params = sp.load_params()
+    mesh = None
+    if args.mesh:
+        from ..parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(args.mesh)
     slam = SlamSystem(
         params,
         cfg,
         ba_every=0 if args.no_ba else 4,
         enable_loop_closure=not args.no_loop_closure,
+        mesh=mesh,
     )
     start = 0
     if args.resume:

@@ -42,6 +42,7 @@ def shard_database(db: LoopDatabase, mesh: Mesh) -> LoopDatabase:
     )
 
 
+@partial(jax.jit, static_argnums=(3,))
 def sharded_add_frame(
     db: LoopDatabase, word_ids: jnp.ndarray, frame, mesh: Mesh
 ) -> LoopDatabase:
@@ -102,6 +103,7 @@ class ShardedLoopResult(NamedTuple):
     best_score: jnp.ndarray  # () float32 normalized score
 
 
+@partial(jax.jit, static_argnums=(2, 4, 5))
 def sharded_query(
     db: LoopDatabase,
     word_ids: jnp.ndarray,

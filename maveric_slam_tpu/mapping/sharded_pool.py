@@ -52,6 +52,7 @@ def _local_hit(word_ids, table_rows, shard, rows):
     return jnp.zeros((table_rows,), bool).at[idx].max(in_range)
 
 
+@partial(jax.jit, static_argnums=(3,))
 def observe_batch(
     pool: DevicePool, word_ids: jnp.ndarray, frame_num, mesh: Mesh
 ) -> DevicePool:
@@ -102,6 +103,7 @@ def remove_old(pool: DevicePool, current_frame, mesh: Mesh) -> DevicePool:
     return feature_pool.remove_old(pool, jnp.asarray(current_frame, jnp.int32))
 
 
+@partial(jax.jit, static_argnums=(2,))
 def covisibility_weights(
     pool: DevicePool, word_ids: jnp.ndarray, mesh: Mesh
 ) -> jnp.ndarray:

@@ -47,6 +47,7 @@ def shard_problem(problem: ba.BAProblem, mesh: Mesh) -> ba.BAProblem:
     )
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def sharded_bundle_adjust(
     problem: ba.BAProblem,
     mesh: Mesh,

@@ -160,3 +160,53 @@ class TestBundleAdjust:
         np.testing.assert_allclose(
             dx_p.reshape(-1), dx[: P * 6], atol=0.04 * np.abs(dx[: P * 6]).max()
         )
+
+
+class TestSparseBA:
+    """Factor-list BA (backend.sparse_ba) vs the dense-grid solver at
+    realistic ~35% observation density (round-2 verdict #9)."""
+
+    def _sparse_problem(self, density=0.35, seed=21):
+        from maveric_slam_tpu.backend import sparse_ba
+
+        rng = np.random.default_rng(seed)
+        problem, gt = make_ba_problem(rng, num_landmarks=96)
+        keep = rng.random(np.asarray(problem.mask).shape) < density
+        # Keep the problem solvable: every landmark needs >= 2 obs, every
+        # pose >= a few.
+        mask = np.asarray(problem.mask) & keep
+        need = mask.sum(1) < 2
+        mask[need, :2] = np.asarray(problem.mask)[need, :2]
+        import jax.numpy as jnp
+        problem = problem._replace(mask=jnp.asarray(mask))
+        return problem, sparse_ba.from_dense(problem), gt
+
+    def test_matches_dense_solver(self):
+        from maveric_slam_tpu.backend import sparse_ba
+
+        dense, sparse, _ = self._sparse_problem()
+        solved_d, stats = ba.bundle_adjust(dense, iterations=6)
+        solved_s, costs = sparse_ba.bundle_adjust(sparse, iterations=6)
+        # Identical per-factor arithmetic, different summation order.
+        np.testing.assert_allclose(
+            np.asarray(solved_s.t), np.asarray(solved_d.t), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(solved_s.R), np.asarray(solved_d.R), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(solved_s.X), np.asarray(solved_d.X), atol=5e-3
+        )
+        # Costs agree at every iteration.
+        np.testing.assert_allclose(
+            np.asarray(costs), np.asarray(stats.cost[: costs.shape[0]]),
+            rtol=1e-3,
+        )
+
+    def test_converges(self):
+        from maveric_slam_tpu.backend import sparse_ba
+
+        _, sparse, _ = self._sparse_problem(seed=22)
+        _, costs = sparse_ba.bundle_adjust(sparse, iterations=8)
+        c = np.asarray(costs)
+        assert c[-1] < 0.05 * c[0], c
