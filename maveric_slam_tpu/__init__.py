@@ -23,7 +23,18 @@ __version__ = "0.1.0"
 # unaffected: it feeds bf16 carriers explicitly and accumulates f32 via
 # preferred_element_type, so the conv throughput keeps its MXU fast path
 # (measured: tracking fps unchanged).
-import jax as _jax
+#
+# NOTE this is a process-global setting applied at import time; the
+# library's correctness depends on it (geometry/BA/SVD run plain f32
+# matmuls). Host programs that need XLA's bf16-pass default for their own
+# f32 matmuls can opt out with MAVERIC_SLAM_TPU_KEEP_MATMUL_PRECISION=1
+# in the environment — at their own numerical risk for this library's
+# geometry paths.
+import os as _os
 
-_jax.config.update("jax_default_matmul_precision", "highest")
-del _jax
+if not _os.environ.get("MAVERIC_SLAM_TPU_KEEP_MATMUL_PRECISION"):
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", "highest")
+    del _jax
+del _os

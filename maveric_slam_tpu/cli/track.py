@@ -121,6 +121,7 @@ def main() -> None:
         with open(os.path.join(args.out_dir, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=2)
         print(json.dumps(metrics, indent=2))
+    slam.close()
 
     if args.plot:
         from ..utils import visualization

@@ -75,6 +75,16 @@ def estimate_essential(
     that subspace scores a fake-perfect Sampson error. Minimal hypotheses
     must be scored projected.
     """
+    if not project and p1.shape[-2] <= 8:
+        # Machine-check of the docstring's invariant (trace-time, free):
+        # a minimal 8-point sample fit must be projected before scoring —
+        # its unprojected nullspace can mix into the small-baseline
+        # antisymmetric subspace and score a fake-perfect Sampson error.
+        raise ValueError(
+            "estimate_essential(project=False) requires a non-minimal fit "
+            f"(got M={p1.shape[-2]} <= 8 correspondences); minimal-sample "
+            "hypotheses must be scored on the projected E"
+        )
     A = eight_point_design(p1, p2)
     if weights is not None:
         A = A * weights[..., None]

@@ -179,8 +179,19 @@ def _requant(acc_f32, in_scale, w_scale, bias, out_scale, relu: bool):
     return jnp.clip(q, lo, 127.0)
 
 
-@jax.jit
-def superpoint_int8(params: Params, images: jnp.ndarray):
+def _stem_tile_rows(h: int) -> int | None:
+    """Row-tile for the fused stem kernel: largest even divisor of H <= 16
+    (each grid program processes tile_rows input rows; 16 keeps the
+    (TH+2, W+2, 64) f32 conv1a accumulator ~21 MiB-free in VMEM at KITTI
+    width). None = shape not tileable, take the layered path."""
+    for tr in (16, 12, 8, 6, 4, 2):
+        if h % tr == 0:
+            return tr
+    return None
+
+
+@partial(jax.jit, static_argnames=("stem",))
+def superpoint_int8(params: Params, images: jnp.ndarray, stem: str = "auto"):
     """Quantized inference, int8 semantics on the MXU.
 
     The quantized values are *carried* as floats (bf16 on TPU, f32
@@ -212,13 +223,19 @@ def superpoint_int8(params: Params, images: jnp.ndarray):
       desc_q: (N, H/8, W/8, 256) int8; dequantize with desc_scale.
       scales: dict with 'semi_scale' and 'desc_scale' (f32 scalars), matching
         the reference's per-tensor scales (quantized_image0.h:14, :1938).
+      stem: "auto" dispatches stage 1 (conv1a+rq, conv1b+rq, 2x2 pool) to
+        the fused Pallas kernel on TPU backends (ops.pallas_kernels.
+        fused_stem — one VMEM-resident pass, ~7x less HBM activation
+        traffic than the five layered XLA ops, bit-identical outputs:
+        tests/test_pallas_kernels.py + tools/tpu_parity.py `stem`);
+        "off" forces the layered path; "interpret" runs the kernel in
+        Pallas interpret mode (CPU parity testing).
     """
     # "axon" is a tunneled-TPU PJRT plugin; same MXU guarantees as "tpu".
-    from ..ops.backend import is_mxu_backend
+    from ..ops.backend import is_mxu_backend, use_tpu_pallas
 
     carrier = jnp.bfloat16 if is_mxu_backend() else jnp.float32
     s = params["input_scale"]
-    x = jnp.clip(jnp.round(images[..., None] / s), -128, 127).astype(carrier)
 
     def qconv(x, name, in_scale, relu):
         wq = params.get(f"{name}_wq")
@@ -235,9 +252,41 @@ def superpoint_int8(params: Params, images: jnp.ndarray):
         )
         return q.astype(carrier), params[f"{name}_oscale"]
 
-    x, sc = qconv(x, "conv1a", s, True)
-    x, sc = qconv(x, "conv1b", sc, True)
-    x = _maxpool2(x)
+    tr = _stem_tile_rows(images.shape[1]) if images.shape[2] % 2 == 0 else None
+    fuse = stem == "interpret" or (
+        stem == "auto" and use_tpu_pallas() and tr is not None
+    )
+    if fuse:
+        from ..ops.pallas_kernels import fused_stem
+
+        o1a = params["conv1a_oscale"]
+        o1b = params["conv1b_oscale"]
+        # Same quantized-bias / multiplier derivation as _requant, hoisted
+        # to stem arguments (the kernel applies them in-register).
+        b1_q = jnp.round(params["conv1a_b"] / (s * params["conv1a_wscale"]))
+        m1 = (s * params["conv1a_wscale"]) / o1a
+        b2_q = jnp.round(params["conv1b_b"] / (o1a * params["conv1b_wscale"]))
+        m2 = (o1a * params["conv1b_wscale"]) / o1b
+        x = fused_stem(
+            images,
+            params["conv1a_w"],
+            params["conv1b_w"],
+            s,
+            b1_q,
+            m1,
+            b2_q,
+            m2,
+            tile_rows=None,
+            interpret=stem == "interpret",
+        ).astype(carrier)
+        sc = o1b
+    else:
+        x = jnp.clip(jnp.round(images[..., None] / s), -128, 127).astype(
+            carrier
+        )
+        x, sc = qconv(x, "conv1a", s, True)
+        x, sc = qconv(x, "conv1b", sc, True)
+        x = _maxpool2(x)
     x, sc = qconv(x, "conv2a", sc, True)
     x, sc = qconv(x, "conv2b", sc, True)
     x = _maxpool2(x)

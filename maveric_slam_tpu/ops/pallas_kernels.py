@@ -497,90 +497,240 @@ def svd3_pallas(A: jnp.ndarray, sweeps: int = 6, interpret: bool = False):
 # Fused SuperPoint stem: conv1a -> requant -> conv1b -> requant -> maxpool2
 # --------------------------------------------------------------------------- #
 
-def _stem_kernel(
-    x_ref,  # (1, H+4, W+4) int8 VMEM block: the whole padded image
-    w1a_ref,  # (16, 64) bf16: 9 conv1a taps row-major (+7 zero rows)
-    w1b_ref,  # (9*64, 64) bf16: conv1b taps, tap-major blocks
-    b1_ref,  # (1, 64) f32 quantized conv1a bias
-    b2_ref,  # (1, 64) f32 quantized conv1b bias
-    m_ref,  # (1, 2) SMEM f32: requant multipliers m1, m2
-    out_ref,  # (1, TH//2, W//2, 64) int8 — pooled stage-1 output
+def _stem_pair_kernel(
+    x_hbm,  # (S, H+2, P, 128) int8 column-paired haloed conv1a output (HBM)
+    w0_ref,  # (3*128, 128) bf16 paired conv1b weights, same-pair blocks
+    wn_ref,  # (3*128, 128) bf16 paired conv1b weights, next-pair blocks
+    b_ref,  # (1, 128) f32 quantized bias, duplicated per lane half
+    m_ref,  # (1, 1) SMEM f32 requant multiplier
+    out_ref,  # (1, H/2, W/2, 64) int8 pooled stage-1 output (whole frame)
+    bufs,  # (2, TH+2, P, 128) int8 VMEM double buffer
+    sems,  # (2,) DMA semaphores
     *,
     th: int,
+    pairs: int,
+    h: int,
     w: int,
 ):
-    """One (batch, row-tile) program of the fused stage-1 pipeline.
+    """One per-frame program of the fused SuperPoint stage 1.
 
-    The jnp/XLA formulation runs conv1a, its requant, conv1b, its requant
-    and the 2x2 maxpool as five HBM-roundtripping ops — measured
-    bandwidth-bound at ~3.9 ms/16-frame batch (xprof: the three largest
-    fusions are exactly conv1a+rq, conv1b+rq, pool). Here each program
-    reads an int8 input row window (the whole 126 KiB padded image rides
-    in as a VMEM block — halo overlap that BlockSpecs cannot express),
-    keeps every intermediate in VMEM, and writes only the pooled int8
-    output: HBM activation traffic drops ~7x.
+    Layout: the 64-channel conv1a activation rides with TWO adjacent
+    image columns packed into the 128-lane minor dim (lane l<64 = even
+    buffer column channel l, l>=64 = odd column) — the full native lane
+    width, so the halo-window DMAs are tile-aligned without padding 64
+    channels out to 128 (which would double stage-1 HBM traffic).
 
-    Arithmetic is the exact integer emulation of models/superpoint.py
-    (int8 products in bf16/f32 are exact; accumulators < 2^24): bit-
-    identical stage-1 outputs, asserted by tests and tools/tpu_parity.py.
+    conv1b is SIX (TH*P, 128)x(128, 128) MXU matmuls per row tile (3 row
+    taps x {same pair, next pair}) against block-structured weights that
+    encode the three column taps for both lane halves (built in
+    fused_stem; ~1.37x the minimal MACs, far cheaper than the HBM
+    round-trips it removes). Requant runs in-register; the 2x2 maxpool
+    fuses completely: row half as a leading-dim split, column half as a
+    64-lane roll + max (the pooled column IS the lane pair).
+
+    The whole frame runs in ONE program: row tiles are streamed through a
+    double-buffered halo-window DMA pipeline (BlockSpec index maps cannot
+    express overlapping windows, and one DMA per grid step measured
+    ~60 us of serial latency each on the tunneled runtime — 12 x 60 us
+    dwarfed the ~60 us of matmul work per frame). Tile t+1's copy is in
+    flight while tile t computes.
+
+    Integer arithmetic is exact throughout (int8 products in bf16, f32
+    accumulation via preferred_element_type; reordered additions are
+    exact-integer), so stage-1 outputs are bit-identical to the layered
+    int8 path (tests/test_pallas_kernels.py, tools/tpu_parity.py `stem`).
+    The halo ring is zeroed by conv1a's epilogue mask (fused in XLA), not
+    here.
     """
-    i = pl.program_id(1)
-    x = x_ref[0, pl.ds(i * th, th + 4), :].astype(jnp.float32)  # (TH+4, W+4)
-    m1 = m_ref[0, 0]
-    m2 = m_ref[0, 1]
+    b = pl.program_id(0)
+    n_tiles = h // th
 
-    # conv1a: 9 shifted scalar taps, broadcast over 64 output channels.
-    # Accumulate (TH+2, W+2, 64) — the +2 halo feeds conv1b.
-    h1, w1 = th + 2, w + 2
-    acc1 = jnp.zeros((h1, w1, 64), jnp.float32)
-    for u in range(3):
-        for v in range(3):
-            tap = w1a_ref[u * 3 + v : u * 3 + v + 1, :].astype(jnp.float32)
-            xs = x[u : u + h1, v : v + w1].reshape(h1, w1, 1)
-            acc1 = acc1 + xs * tap.reshape(1, 1, 64)
-    b1 = b1_ref[0:1, :].reshape(1, 1, 64)
-    q1 = jnp.clip(jnp.round((acc1 + b1) * m1), 0.0, 127.0)
-    # conv1b's SAME padding is zeros OUTSIDE the image in the layered
-    # formulation; the halo ring of q1 here was computed on zero-extended
-    # input (bias can requant to nonzero) — zero it where it falls outside
-    # the true image.
-    n_rows = pl.num_programs(1) * th
-    row_g = jax.lax.broadcasted_iota(jnp.int32, (h1, w1), 0) + i * th - 1
-    col_g = jax.lax.broadcasted_iota(jnp.int32, (h1, w1), 1) - 1
-    inside = (
-        (row_g >= 0) & (row_g < n_rows) & (col_g >= 0) & (col_g < w)
+    def dma(t):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(t * th, th + 2)],
+            bufs.at[t % 2],
+            sems.at[t % 2],
+        )
+
+    dma(0).start()
+    for t in range(n_tiles):  # static trip count: unrolled, slices static
+        if t + 1 < n_tiles:
+            dma(t + 1).start()
+        dma(t).wait()
+
+        x = bufs[t % 2].astype(jnp.float32)  # (TH+2, P, 128)
+        acc = jnp.zeros((th * pairs, 128), jnp.float32)
+        for u in range(3):
+            base = x[u : u + th, :, :]  # (TH, P, 128)
+            nxt = pltpu.roll(base, pairs - 1, 1)  # pair p holds pair p+1
+            for src, wref in ((base, w0_ref), (nxt, wn_ref)):
+                patch = src.reshape(th * pairs, 128).astype(jnp.bfloat16)
+                wt = wref[u * 128 : (u + 1) * 128, :]
+                # Explicit DEFAULT precision: the package-global
+                # jax_default_matmul_precision="highest" would request an
+                # fp32-precision contraction on bf16 operands, which
+                # Mosaic rejects ("Bad lhs type"). Exactness comes from
+                # the operands being small integers, not the flag.
+                acc = acc + jax.lax.dot_general(
+                    patch,
+                    wt,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+        q = jnp.clip(
+            jnp.round((acc + b_ref[0:1, :]) * m_ref[0, 0]), 0.0, 127.0
+        )
+        y = q.reshape(th, pairs, 128)
+        y = jnp.max(y.reshape(th // 2, 2, pairs, 128), axis=1)  # row pool
+        # Column pool: lane l<64 takes max(channel l of even col, odd col).
+        y = jnp.maximum(y, pltpu.roll(y, 64, 2))
+        out_ref[0, t * (th // 2) : (t + 1) * (th // 2)] = (
+            y[:, 0 : w // 2, 0:64].astype(jnp.int8)
+        )
+
+
+def _stem_pair_weights(w1b: jnp.ndarray):
+    """Block-structured paired conv1b weights (see _stem_pair_kernel).
+
+    w1b: (3, 3, 64, 64) int8 HWIO. Returns (W0, Wn), each (3*128, 128)
+    bf16: for row tap u, W0[u] maps the SAME input pair (even col -> taps
+    v=0 for even out / nothing for odd; odd col -> v=1 even / v=0 odd) and
+    Wn[u] the NEXT pair (v=2/v=1 and 0/v=2)."""
+    w = jnp.asarray(w1b, jnp.float32)  # (u, v, c, o)
+    z = jnp.zeros((64, 64), jnp.float32)
+
+    def block(tl, tr, bl, br):
+        return jnp.concatenate(
+            [
+                jnp.concatenate([tl, tr], axis=1),
+                jnp.concatenate([bl, br], axis=1),
+            ],
+            axis=0,
+        )
+
+    w0_blocks = [block(w[u, 0], z, w[u, 1], w[u, 0]) for u in range(3)]
+    wn_blocks = [block(w[u, 2], w[u, 1], z, w[u, 2]) for u in range(3)]
+    W0 = jnp.concatenate(w0_blocks, 0).astype(jnp.bfloat16)
+    Wn = jnp.concatenate(wn_blocks, 0).astype(jnp.bfloat16)
+    return W0, Wn
+
+
+def _stem_pairs(w: int) -> int:
+    """Paired-buffer width: image + left halo col + right pad, in column
+    pairs, rounded so the pair count is a multiple of 8 (DMA slices must
+    be tile-aligned in the second-minor dim)."""
+    return -(-(w + 2) // 16) * 8
+
+
+def _fused_stem_impl(
+    images, w1a, w1b, input_scale, b1_q, m1, b2_q, m2, tile_rows, interpret
+):
+    """Fused SuperPoint stage 1; returns (S, H/2, W/2, 64) int8 activations
+    (post conv1a+rq, conv1b+rq, 2x2 maxpool) bit-identical to the layered
+    int8 path (reference contract: the quantized stage 1 of
+    python/superpoint_inference.py:29-83).
+
+    conv1a (1 input channel) runs as an XLA im2col matmul that emits the
+    kernel's haloed, column-paired int8 buffer DIRECTLY: 9 shifted int8
+    slices stacked tap-minor, reshaped (free, row-major) so each column
+    PAIR carries 32 lanes (2 cols x 16 tap slots), one (.., 32)x(32, 128)
+    dot with block-diagonal paired weights, requant + halo-zero mask
+    fused into its epilogue. Three equivalent formulations were measured
+    before this one (tools/experiments/README_stem_r5.md): a plain
+    lax.conv (XLA mis-lowers Cin=1 convs: 0.71 ms for a 0.14 GFLOP
+    layer), a conv with asymmetric padding feeding the kernel (XLA
+    inserted three full-tensor relayout copies around the Pallas custom
+    call, ~0.6 ms), and an unpaired im2col (two f32 relayout copies).
+    This version compiles with zero large relayouts: 0.084 ms for the
+    whole stage at S=1 vs 0.44 ms layered. conv1b + requant + the full
+    2x2 maxpool run in one Pallas kernel (_stem_pair_kernel). Stage-1
+    HBM activation traffic: ~13 MB/frame vs ~66 MB layered bf16.
+    """
+    s, h, w = images.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    pairs = _stem_pairs(w)
+    x_q = jnp.clip(jnp.round(images / input_scale), -128, 127).astype(
+        jnp.int8
     )
-    q1 = jnp.where(inside.reshape(h1, w1, 1), q1, 0.0)  # f32; cast to
-    # bf16 AFTER the per-tap reshape (16-bit reshapes need a relayout
-    # Mosaic refuses: "insertion of minor dim ... only for 32-bit")
+    # Buffer col j corresponds to image col j-1 (left halo); tap (u, v) of
+    # buffer (r, j) reads image (r-2+u, j-2+v) — hence pad lo=2.
+    xp = jnp.pad(x_q, ((0, 0), (2, 2), (2, 2 * pairs - w)))
+    pats = jnp.stack(
+        [
+            xp[:, u : u + h + 2, v : v + 2 * pairs]
+            for u in range(3)
+            for v in range(3)
+        ],
+        -1,
+    )  # (S, H+2, 2*pairs, 9) int8
+    pats = jnp.pad(pats, ((0, 0), (0, 0), (0, 0), (0, 7))).reshape(
+        s, h + 2, pairs, 32
+    )
+    w16 = (
+        jnp.zeros((16, 64), jnp.float32)
+        .at[:9]
+        .set(w1a.reshape(9, 64).astype(jnp.float32))
+    )
+    w32 = (
+        jnp.zeros((32, 128), jnp.float32)
+        .at[0:16, 0:64]
+        .set(w16)
+        .at[16:32, 64:128]
+        .set(w16)
+        .astype(jnp.bfloat16)
+    )
+    b1p = jnp.concatenate([b1_q, b1_q]).astype(jnp.float32)
+    # int8 products accumulate exactly in this bf16 dot (values < 2^14,
+    # f32 accumulation); DEFAULT precision because the package-global
+    # "highest" would reject/slow bf16 operands.
+    acc = jax.lax.dot_general(
+        pats.astype(jnp.bfloat16),
+        w32,
+        dimension_numbers=(((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # (S, H+2, pairs, 128)
+    q1 = jnp.clip(jnp.round((acc + b1p) * m1), 0.0, 127.0)
+    # Halo-zero mask, fused into the same epilogue: the halo ring and
+    # right-pad region carry conv1a-of-zero-input values (bias through
+    # requant, not zeros), but conv1b's SAME semantics need literal zeros.
+    row_g = jnp.arange(h + 2)[:, None, None] - 1
+    pair_i = jnp.arange(pairs)[None, :, None]
+    lane_i = jnp.arange(128)[None, None, :]
+    col_g = 2 * pair_i + (lane_i >= 64) - 1
+    inside = (row_g >= 0) & (row_g < h) & (col_g >= 0) & (col_g < w)
+    q1p = (q1 * inside[None]).astype(jnp.int8)
 
-    # conv1b: 9 taps of (TH*W1, 64) x (64, 64) MXU matmuls. Column shifts
-    # are lane-preserving rolls of the FULL padded width (mid-dim slices
-    # that change the width would need an unsupported relayout); the roll
-    # wraparound only contaminates the two rightmost columns, which the
-    # final width slice discards.
-    acc2 = jnp.zeros((th * w1, 64), jnp.float32)
-    for u in range(3):
-        base = q1[u : u + th, :, :]  # (TH, W1, 64) leading-dim slice
-        for v in range(3):
-            shifted = base if v == 0 else pltpu.roll(base, w1 - v, 1)
-            patch = shifted.reshape(th * w1, 64).astype(jnp.bfloat16)
-            wtap = w1b_ref[(u * 3 + v) * 64 : (u * 3 + v + 1) * 64, :]
-            acc2 = acc2 + jax.lax.dot_general(
-                patch,
-                wtap,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    q2 = jnp.clip(jnp.round((acc2 + b2_ref[0:1, :]) * m2), 0.0, 127.0)
+    W0, Wn = _stem_pair_weights(w1b)
+    b2p = jnp.concatenate([b2_q, b2_q]).astype(jnp.float32)
 
-    # Row-wise half of the 2x2 max pool (the column half runs outside the
-    # kernel: Mosaic supports leading-dim splits but not the mid-dim
-    # regrouping a W-pool needs). int8 out: (TH/2, W, 64).
-    q2 = q2.reshape(th, w1, 64)[:, 0:w, :]
-    q2 = q2.reshape(th // 2, 2, w, 64)
-    pooled = jnp.max(q2, axis=1)  # (TH/2, W, 64)
-    out_ref[:] = pooled.reshape(out_ref.shape).astype(jnp.int8)
+    th = tile_rows or next(
+        t for t in (16, 12, 8, 6, 4, 2) if h % t == 0
+    )
+    out = pl.pallas_call(
+        partial(_stem_pair_kernel, th=th, pairs=pairs, h=h, w=w),
+        grid=(s,),
+        out_shape=jax.ShapeDtypeStruct((s, h // 2, w // 2, 64), jnp.int8),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h // 2, w // 2, 64),
+            lambda b: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, pairs, 128), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(q1p, W0, Wn, b2p[None, :], jnp.asarray(m2, jnp.float32).reshape(1, 1))
+    return out
 
 
 @partial(jax.jit, static_argnames=("tile_rows", "interpret"))
@@ -593,58 +743,42 @@ def fused_stem(
     m1,
     b2_q: jnp.ndarray,  # (64,) f32
     m2,
-    tile_rows: int = 16,
+    tile_rows: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused SuperPoint stage 1; returns (S, H/2, W/2, 64) int8 activations
-    (post conv1a+rq, conv1b+rq, 2x2 maxpool) bit-identical to the layered
-    jnp path."""
-    s, h, w = images.shape
-    assert h % tile_rows == 0, (h, tile_rows)
-    x_q = jnp.clip(jnp.round(images / input_scale), -128, 127).astype(jnp.int8)
-    x_pad = jnp.pad(x_q, ((0, 0), (2, 2), (2, 2)))
+    """Batch-polymorphic wrapper around _fused_stem_impl (see its doc).
 
-    w1a_rows = jnp.zeros((16, 64), jnp.bfloat16)
-    w1a_rows = w1a_rows.at[:9].set(
-        w1a.reshape(9, 64).astype(jnp.bfloat16)
-    )
-    w1b_rows = (
-        w1b.reshape(9, 64, 64).reshape(9 * 64, 64).astype(jnp.bfloat16)
-    )
+    Under vmap (the stream-batched tracker vmaps track_step), Pallas
+    would try to block the kernel's HBM-space input over the new batch
+    dim, which the TPU lowering rejects. The custom_vmap rule instead
+    collapses any batch dims into the kernel's own leading S grid
+    dimension — the kernel is shape-polymorphic in S — and reshapes the
+    result back.
+    """
 
-    grid = (s, h // tile_rows)
-    out = pl.pallas_call(
-        partial(_stem_kernel, th=tile_rows, w=w),
-        grid=grid,
-        out_shape=jax.ShapeDtypeStruct((s, h // 2, w, 64), jnp.int8),
-        in_specs=[
-            # Whole padded image per program (126 KiB int8): halo-
-            # overlapping row windows are sliced inside the kernel.
-            pl.BlockSpec(
-                (1, h + 4, w + 4),
-                lambda b, i: (b, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tile_rows // 2, w, 64),
-            lambda b, i: (b, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        interpret=interpret,
-    )(
-        x_pad,
-        w1a_rows,
-        w1b_rows,
-        b1_q[None, :].astype(jnp.float32),
-        b2_q[None, :].astype(jnp.float32),
-        jnp.asarray([[m1, m2]], jnp.float32),
+    @jax.custom_batching.custom_vmap
+    def run(imgs, w1a, w1b, s_in, b1, m1, b2, m2):
+        return _fused_stem_impl(
+            imgs, w1a, w1b, s_in, b1, m1, b2, m2, tile_rows, interpret
+        )
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, imgs, w1a, w1b, s_in, b1, m1, b2, m2):
+        del axis_size
+        # Only the image argument may carry a batch dim (weights/scales
+        # are per-model constants under the tracker's stream vmap).
+        assert in_batched[0] and not any(in_batched[1:]), in_batched
+        flat = imgs.reshape((-1,) + imgs.shape[2:])
+        out = run(flat, w1a, w1b, s_in, b1, m1, b2, m2)
+        return out.reshape(imgs.shape[:2] + out.shape[1:]), True
+
+    return run(
+        images,
+        w1a,
+        w1b,
+        jnp.asarray(input_scale, jnp.float32),
+        b1_q,
+        jnp.asarray(m1, jnp.float32),
+        b2_q,
+        jnp.asarray(m2, jnp.float32),
     )
-    # Column half of the 2x2 pool (cheap int8 op XLA fuses; the kernel did
-    # the row half).
-    return out.reshape(s, h // 2, w // 2, 2, 64).max(axis=3)

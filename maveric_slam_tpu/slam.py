@@ -268,6 +268,19 @@ class SlamSystem:
         self._apply_pending_ba()
         self._resolve_pending_loops(force=True)
 
+    def close(self) -> None:
+        """Drain the pipeline and release the fetch-pool threads. The
+        engine stays queryable (poses/stats) but cannot process further
+        frames. Idempotent; also runs via the context-manager protocol."""
+        self.finish()
+        self._fetch_pool.shutdown(wait=True)
+
+    def __enter__(self) -> "SlamSystem":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     # ------------------------------------------------------------------ #
 
     def _consume(self, fidx: int, fut, wa) -> None:

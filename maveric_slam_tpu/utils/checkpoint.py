@@ -83,6 +83,29 @@ def save(slam: "SlamSystem", path: str) -> None:
             arrays["kf_mask"] = np.stack(
                 [slam.kf_store[k]["mask"] for k in slots]
             )
+            # Metric feature depths per keyframe: the loop-closure scale
+            # recovery reads entry["depth"]/["depth_ok"] unconditionally
+            # (slam._verify_and_close_loop), so a checkpoint without them
+            # would KeyError on the first post-resume loop candidate.
+            arrays["kf_depth"] = np.stack(
+                [slam.kf_store[k]["depth"] for k in slots]
+            )
+            arrays["kf_depth_ok"] = np.stack(
+                [slam.kf_store[k]["depth_ok"] for k in slots]
+            )
+        # Retained loop edges: a pose-graph solve after resume re-applies
+        # ALL retained edges (see slam.MAX_LOOP_EDGES invariant) — dropping
+        # them across a restart would silently revert their corrections.
+        if slam.loop_edges:
+            arrays["loop_edge_ij"] = np.array(
+                [(fi, fj) for fi, fj, _, _ in slam.loop_edges], np.int64
+            )
+            arrays["loop_edge_R"] = np.stack(
+                [np.asarray(R) for _, _, R, _ in slam.loop_edges]
+            )
+            arrays["loop_edge_t"] = np.stack(
+                [np.asarray(t) for _, _, _, t in slam.loop_edges]
+            )
 
     state_file = f"state_{slam.frame_idx:08d}.npz"
     np.savez_compressed(os.path.join(path, state_file), **arrays)
@@ -195,10 +218,38 @@ def restore(slam: "SlamSystem", path: str) -> None:
                 }
             )
         if "kf_slot" in arrays:
+            has_depth = "kf_depth" in arrays
+            n_top = arrays["kf_desc"].shape[1]
             for row, slot in enumerate(arrays["kf_slot"]):
                 slam.kf_store[int(slot)] = {
                     "frame": int(arrays["kf_frame"][row]),
                     "desc": arrays["kf_desc"][row],
                     "xy": arrays["kf_xy"][row],
                     "mask": arrays["kf_mask"][row],
+                    # Pre-depth checkpoints: depth_ok=False everywhere so
+                    # the scale recovery takes its guess_norm fallback
+                    # instead of crashing on a missing key.
+                    "depth": arrays["kf_depth"][row]
+                    if has_depth
+                    else np.zeros((n_top,), np.float32),
+                    "depth_ok": arrays["kf_depth_ok"][row]
+                    if has_depth
+                    else np.zeros((n_top,), bool),
                 }
+        # Host mirror of the db ring cursor must match the restored device
+        # cursor, or post-resume keyframes write kf_store slots that
+        # disagree with where the db actually scored them.
+        if "db_next_slot" in arrays:
+            slam._next_slot = int(
+                np.asarray(arrays["db_next_slot"]).reshape(-1)[0]
+            )
+        if "loop_edge_ij" in arrays:
+            slam.loop_edges = [
+                (
+                    int(ij[0]),
+                    int(ij[1]),
+                    arrays["loop_edge_R"][k],
+                    arrays["loop_edge_t"][k],
+                )
+                for k, ij in enumerate(arrays["loop_edge_ij"])
+            ]

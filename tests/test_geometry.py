@@ -6,6 +6,7 @@ lacked entirely (cheirality disambiguation, Sampson scoring).
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from scipy.spatial.transform import Rotation
@@ -132,3 +133,28 @@ class TestRansac:
         inl = np.asarray(res.inliers)
         assert not inl[50:].any()
         assert rot_err_deg(np.asarray(res.R), R) < 0.5
+
+
+class TestUnprojectedFitGuard:
+    """estimate_essential(project=False) is only safe for well-seeded
+    non-minimal fits (small-baseline antisymmetric-nullspace hazard, see
+    its docstring); the guard makes the invariant machine-checked."""
+
+    def test_minimal_sample_unprojected_raises(self):
+        rng = np.random.default_rng(0)
+        p1 = jnp.asarray(rng.normal(size=(8, 2)).astype(np.float32))
+        p2 = jnp.asarray(rng.normal(size=(8, 2)).astype(np.float32))
+        with pytest.raises(ValueError, match="non-minimal"):
+            epipolar.estimate_essential(p1, p2, project=False)
+        # Batched minimal samples (the RANSAC hypothesis shape) too.
+        b1 = jnp.asarray(rng.normal(size=(16, 8, 2)).astype(np.float32))
+        b2 = jnp.asarray(rng.normal(size=(16, 8, 2)).astype(np.float32))
+        with pytest.raises(ValueError, match="non-minimal"):
+            epipolar.estimate_essential(b1, b2, project=False)
+
+    def test_non_minimal_unprojected_allowed(self):
+        rng = np.random.default_rng(1)
+        p1 = jnp.asarray(rng.normal(size=(32, 2)).astype(np.float32))
+        p2 = jnp.asarray(rng.normal(size=(32, 2)).astype(np.float32))
+        E = epipolar.estimate_essential(p1, p2, project=False)
+        assert E.shape == (3, 3)

@@ -262,3 +262,63 @@ class TestNmsOnFastPath:
         n_valid_nms = int((np.asarray(got.indices) != 64).sum())
         n_valid_raw = int((np.asarray(no_nms.indices) != 64).sum())
         assert n_valid_nms < n_valid_raw, (n_valid_nms, n_valid_raw)
+
+
+class TestFusedStem:
+    """The fused SuperPoint stage-1 kernel (conv1a+rq, conv1b+rq, 2x2 pool
+    in one VMEM-resident pass) must be bit-identical to the layered int8
+    path — it replaces stage 1 inside superpoint_int8 on TPU backends."""
+
+    IMG = "/root/reference/datasets/kitti/sequences/00/image_0/000160.png"
+
+    def test_stage1_bit_parity_real_frame(self):
+        from maveric_slam_tpu.data import kitti
+        from maveric_slam_tpu.models import superpoint as sp
+
+        params = sp.load_params()
+        img = kitti.load_frame(self.IMG)  # (192, 640)
+
+        # Layered stage-1 reference (exactly superpoint_int8's first block).
+        s = params["input_scale"]
+        x = jnp.clip(jnp.round(jnp.asarray(img)[None, ..., None] / s), -128, 127)
+
+        def qconv(x, name, in_scale, relu):
+            acc = sp._conv(x, params[f"{name}_w"].astype(jnp.float32), jnp.float32)
+            q = sp._requant(
+                acc, in_scale, params[f"{name}_wscale"], params[f"{name}_b"],
+                params[f"{name}_oscale"], relu,
+            )
+            return q, params[f"{name}_oscale"]
+
+        x, sc = qconv(x, "conv1a", s, True)
+        x, sc = qconv(x, "conv1b", sc, True)
+        ref = np.asarray(sp._maxpool2(x)).astype(np.int8)
+
+        o1a = params["conv1a_oscale"]
+        b1_q = jnp.round(params["conv1a_b"] / (s * params["conv1a_wscale"]))
+        m1 = (s * params["conv1a_wscale"]) / o1a
+        b2_q = jnp.round(params["conv1b_b"] / (o1a * params["conv1b_wscale"]))
+        m2 = (o1a * params["conv1b_wscale"]) / params["conv1b_oscale"]
+        got = np.asarray(
+            pallas_kernels.fused_stem(
+                jnp.asarray(img)[None],
+                params["conv1a_w"], params["conv1b_w"], s,
+                b1_q, m1, b2_q, m2, interpret=True,
+            )
+        )
+        assert got.shape == ref.shape == (1, 96, 320, 64)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_full_net_parity_via_stem_flag(self):
+        """superpoint_int8(stem='interpret') (fused stage 1) must produce
+        bitwise the same semi/desc grids as stem='off' (layered)."""
+        from maveric_slam_tpu.data import kitti
+        from maveric_slam_tpu.models import superpoint as sp
+
+        params = sp.load_params()
+        img = jnp.asarray(kitti.load_frame(self.IMG))[None]
+        semi_a, desc_a, sc_a = sp.superpoint_int8(params, img, stem="off")
+        semi_b, desc_b, sc_b = sp.superpoint_int8(params, img, stem="interpret")
+        np.testing.assert_array_equal(np.asarray(semi_a), np.asarray(semi_b))
+        np.testing.assert_array_equal(np.asarray(desc_a), np.asarray(desc_b))
+        assert float(sc_a["semi_scale"]) == float(sc_b["semi_scale"])

@@ -1,3 +1,5 @@
+# Experiment scratch (round 3-4): Mosaic bisection: minimal repro narrowing the on-TPU svd3 kernel divergence (argmax tie-break bug, round 4).
+# Kept for provenance; hardcoded /root paths, not part of the package.
 import numpy as np, jax, jax.numpy as jnp
 from functools import partial
 from jax.experimental import pallas as pl

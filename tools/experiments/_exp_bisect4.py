@@ -1,3 +1,5 @@
+# Experiment scratch (round 3-4): Mosaic bisection stage 4: final minimal repro backing the jax_default_matmul_precision=highest fix.
+# Kept for provenance; hardcoded /root paths, not part of the package.
 import numpy as np, jax, jax.numpy as jnp
 from functools import partial
 from jax.experimental import pallas as pl

@@ -1,3 +1,5 @@
+# Experiment scratch (round 3-4): End-to-end SuperPoint int8 net timing after the stem fusion experiments; backs README conv-stack numbers.
+# Kept for provenance; hardcoded /root paths, not part of the package.
 import time
 import numpy as np, jax, jax.numpy as jnp
 from maveric_slam_tpu.models import superpoint as sp

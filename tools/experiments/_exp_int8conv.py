@@ -1,3 +1,5 @@
+# Experiment scratch (round 3-4): int8 vs bf16-carrier conv throughput comparison on the MXU; backs the bf16-carrier design choice in models/superpoint.py.
+# Kept for provenance; hardcoded /root paths, not part of the package.
 import time
 import numpy as np, jax, jax.numpy as jnp
 from maveric_slam_tpu.models import superpoint as sp

@@ -1,3 +1,5 @@
+# Experiment scratch (round 3-4): Per-layer SuperPoint conv timing sweep; backs the stage-1-is-bandwidth-bound claim (VERDICT r4 weak #2).
+# Kept for provenance; hardcoded /root paths, not part of the package.
 import time
 import numpy as np, jax, jax.numpy as jnp
 from functools import partial

@@ -1,3 +1,5 @@
+# Experiment scratch (round 3-4): Micro-bench of candidate Pallas ops (softmax/top-N variants).
+# Kept for provenance; hardcoded /root paths, not part of the package.
 import numpy as np, jax, jax.numpy as jnp
 from functools import partial
 from jax.experimental import pallas as pl

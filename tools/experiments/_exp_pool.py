@@ -1,3 +1,5 @@
+# Experiment scratch (round 3-4): Pallas feature-pool scatter experiments (device pool design).
+# Kept for provenance; hardcoded /root paths, not part of the package.
 import numpy as np, jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

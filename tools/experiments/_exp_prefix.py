@@ -1,3 +1,5 @@
+# Experiment scratch (round 3-4): Prefix-of-network timing: cumulative cost by truncating SuperPoint after each layer.
+# Kept for provenance; hardcoded /root paths, not part of the package.
 import time
 import numpy as np, jax, jax.numpy as jnp
 from functools import partial

@@ -1,3 +1,5 @@
+# Experiment scratch (round 3-4): Whole-tracker profiling pass over real KITTI frames (round-3 fps work).
+# Kept for provenance; hardcoded /root paths, not part of the package.
 import numpy as np, jax, jax.numpy as jnp
 from maveric_slam_tpu.models import superpoint as sp
 from maveric_slam_tpu.data import kitti

@@ -1,3 +1,5 @@
+# Experiment scratch (round 3-4): Tracker profiling pass 2: isolates dispatch vs compute on the tunneled runtime.
+# Kept for provenance; hardcoded /root paths, not part of the package.
 import numpy as np, jax, jax.numpy as jnp
 from maveric_slam_tpu.models import superpoint as sp
 from maveric_slam_tpu.data import kitti

@@ -1,3 +1,5 @@
+# Experiment scratch (round 3-4): Space-to-depth input layout experiment for conv1a; backs the stage-2 fusion plan.
+# Kept for provenance; hardcoded /root paths, not part of the package.
 import time
 import numpy as np, jax, jax.numpy as jnp
 from maveric_slam_tpu.models import superpoint as sp

@@ -1,3 +1,5 @@
+# Experiment scratch (round 3-4): Space-to-depth variant 2: measured candidate for the next bandwidth cliff (VERDICT r4 next-step #1).
+# Kept for provenance; hardcoded /root paths, not part of the package.
 import time
 import numpy as np, jax, jax.numpy as jnp
 from maveric_slam_tpu.models import superpoint as sp

@@ -1,3 +1,5 @@
+# Experiment scratch (round 3-4): Per-stage engine timing (track/BA/LCD) on the tunneled TPU; backs the slam_fps_integrated RTT attribution.
+# Kept for provenance; hardcoded /root paths, not part of the package.
 import time
 import numpy as np, jax, jax.numpy as jnp
 from maveric_slam_tpu.config import DEFAULT_CONFIG

@@ -1,3 +1,5 @@
+# Experiment scratch (round 3-4): Pallas fused_stem kernel development harness (INTERP=1 for interpret mode); measured ~7x HBM-traffic reduction in-kernel.
+# Kept for provenance; hardcoded /root paths, not part of the package.
 import os
 INTERP = os.environ.get("INTERP", "0") == "1"
 if INTERP:

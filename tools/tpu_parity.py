@@ -123,6 +123,35 @@ def main() -> int:
         ns_ok &= np.allclose(got * s, refv, atol=1e-3)
     report("nullspace", bool(ns_ok), "(3 shapes incl. 3000-batch grid tiling)")
 
+    # --- fused SuperPoint stem (compiled Mosaic) vs layered int8 --------- #
+    from maveric_slam_tpu.data import kitti
+    from maveric_slam_tpu.models import superpoint as sp
+
+    img_path = "/root/reference/datasets/kitti/sequences/00/image_0/000160.png"
+    if os.path.exists(img_path):
+        params = sp.load_params()
+        img = jnp.asarray(kitti.load_frame(img_path))[None]
+        semi_a, desc_a = (
+            np.asarray(x) for x in sp.superpoint_int8(params, img, stem="off")[:2]
+        )
+        semi_b, desc_b = (
+            np.asarray(x)
+            for x in sp.superpoint_int8(params, img, stem="auto")[:2]
+        )
+        stem_ok = np.array_equal(semi_a, semi_b) and np.array_equal(
+            desc_a, desc_b
+        )
+        n_tot = semi_a.size + desc_a.size
+        n_diff = int((semi_a != semi_b).sum() + (desc_a != desc_b).sum())
+        report(
+            "stem",
+            stem_ok,
+            f"(full int8 net, fused vs layered stage 1: {n_diff}/{n_tot} "
+            "elements differ, bitwise)",
+        )
+    else:
+        report("stem", True, "(SKIPPED: reference dataset not mounted)")
+
     # --- svd3 (compiled) vs jnp reference -------------------------------- #
     mats = rng.normal(size=(2100, 3, 3)).astype(np.float32)
     E = np.zeros((3, 3), np.float32)
