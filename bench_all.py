@@ -120,8 +120,26 @@ def bench_slam(params, frames, cfg):
         ).astype(np.float32)
         for k in range(n_frames)
     ]
+    class _TimedSlam(SlamSystem):
+        """Splits per-frame wall time into transport wait (blocking on the
+        device->host fetch future — on this tunneled runtime ~1 RTT when
+        the pipeline can't hide it) and host bookkeeping (track table,
+        pose chain, BA assembly, loop logic). The remainder of wall time
+        is dispatch + pipeline stalls."""
+
+        wait_s = 0.0
+        host_s = 0.0
+
+        def _consume(self, fidx, fut, wa):
+            t0 = time.perf_counter()
+            fut.result()  # idempotent; Future caches the value
+            t1 = time.perf_counter()
+            super()._consume(fidx, fut, wa)
+            self.wait_s += t1 - t0
+            self.host_s += time.perf_counter() - t1
+
     def run_engine():
-        slam = SlamSystem(
+        slam = _TimedSlam(
             params, cfg, ba_every=4, enable_loop_closure=True, fetch_delay=3
         )
         for f in stream:
@@ -134,14 +152,59 @@ def bench_slam(params, frames, cfg):
     # cache and measures steady-state throughput only.
     run_engine()
     t0 = time.perf_counter()
-    run_engine()
+    slam = run_engine()
     dt = time.perf_counter() - t0
     fps = n_frames / dt
+
+    # Device cost of the fused per-frame program, measured the bench.py
+    # way: chained dispatches (state/pool donated and threaded through) on
+    # pre-uploaded content-unique frames, ONE final host fetch amortized
+    # over the chain. This is the number that survives moving off the
+    # tunneled runtime (round-4 verdict #3): engine wall-clock minus this
+    # is transport + host bookkeeping, reported separately below.
+    import jax
+    import jax.numpy as jnp
+
+    dev = SlamSystem(
+        params, cfg, ba_every=0, enable_loop_closure=True, fetch_delay=0
+    )
+    imgs = [jax.device_put(jnp.asarray(f)) for f in stream]
+    for x in imgs:
+        np.asarray(x.ravel()[0])
+    from maveric_slam_tpu.slam import _fused_step_lc
+
+    dev.process(imgs[0])  # init state
+    state, pool = dev.state, dev.pool
+
+    def fused(state, pool, img, k):
+        return _fused_step_lc(
+            params, dev.vocab, state, pool, img, jnp.int32(k), cfg,
+            cfg.frontend.top_n, cfg.loop.vocab_size,
+        )
+
+    state, pool, packed, _wa = fused(state, pool, imgs[1], 1)
+    np.asarray(packed[:1])  # compile + execute barrier
+    rounds = len(imgs) - 2
+    t0 = time.perf_counter()
+    for r in range(rounds):
+        state, pool, packed, _wa = fused(state, pool, imgs[2 + r], 2 + r)
+    np.asarray(packed[:1])
+    device_ms = (time.perf_counter() - t0) / rounds * 1e3
+    dev.close()
+
     return {
         "metric": "slam_fps_integrated",
         "value": round(fps, 1),
         "unit": "frames/s (full engine: track+BA+LCD+pose graph)",
         "ms_per_frame": round(dt / n_frames * 1e3, 2),
+        "slam_device_ms": round(device_ms, 3),
+        "slam_host_ms": round(slam.host_s / n_frames * 1e3, 3),
+        "slam_fetch_wait_ms": round(slam.wait_s / n_frames * 1e3, 3),
+        "decomposition": "device = chained fused per-frame program "
+        "(track+BoW+pool, amortized barrier); fetch_wait = blocking on "
+        "device->host futures (tunnel RTT when the fetch_delay pipeline "
+        "cannot hide it); host = python bookkeeping in _consume; "
+        "remainder of ms_per_frame = dispatch + BA/LCD pipeline stalls",
     }
 
 

@@ -154,9 +154,70 @@ def main() -> int:
             np.asarray(shard.data), np.asarray(p_ref.num_sightings)[sl]
         )
 
+    # --- frame-axis-sharded LCD across both processes -------------------- #
+    # Mirrors the mesh-mode engine's keyframe step (slam._keyframe_step):
+    # sharded_query before sharded_add_frame, with the engine's HOST-side
+    # ring-cursor mirror (slam.py's _next_slot) tracked alongside — the
+    # cross-process behavior VERDICT r4 flagged as untested. Parity bar:
+    # every query must equal the single-process lcd.query on an identical
+    # local database, and the host mirror must match the device cursor.
+    from maveric_slam_tpu.loopclosure import lcd, sharded_lcd
+
+    cap, vocab_l = 4 * n_dev, 512
+    db_ref = lcd.create_database(cap, vocab_l)
+    lmesh = mesh_lib.global_mesh(axis=sharded_lcd.FRAME_AXIS)
+    lspec = P(sharded_lcd.FRAME_AXIS)
+    db_sh = lcd.LoopDatabase(
+        multihot=globalize2(db_ref.multihot, lmesh, lspec),
+        counts=globalize2(db_ref.counts, lmesh, lspec),
+        frames=globalize2(db_ref.frames, lmesh, lspec),
+        valid=globalize2(db_ref.valid, lmesh, lspec),
+        next_slot=globalize2(db_ref.next_slot, lmesh, P()),
+    )
+    host_cursor = 0  # the engine's _next_slot mirror
+    rng_l = np.random.default_rng(9)
+    word_hist = []
+    n_kf = cap + 3  # wraps the ring across the process boundary
+    for f in range(n_kf):
+        if f == n_kf - 1 and len(word_hist) > 4:
+            ids = word_hist[2]  # revisit: query must find frame 2
+        else:
+            ids = rng_l.choice(vocab_l, 40, replace=False).astype(np.int32)
+        word_hist.append(ids)
+        gids = globalize2(ids, lmesh, P())
+        got = sharded_lcd.sharded_query(
+            db_sh, gids, lmesh, jnp.int32(f), min_frame_gap=3, min_score=0.3
+        )
+        ref_q = lcd.query(
+            db_ref, jnp.asarray(ids), jnp.int32(f),
+            min_frame_gap=3, min_score=0.3,
+        )
+        assert int(np.asarray(got.best_frame.addressable_data(0))) == int(
+            ref_q.best_frame
+        ), (f, int(np.asarray(got.best_frame.addressable_data(0))),
+            int(ref_q.best_frame))
+        assert (
+            abs(
+                float(np.asarray(got.best_score.addressable_data(0)))
+                - float(ref_q.best_score)
+            )
+            < 1e-6
+        )
+        db_sh = sharded_lcd.sharded_add_frame(db_sh, gids, jnp.int32(f), lmesh)
+        db_ref = lcd.add_frame(db_ref, jnp.asarray(ids), jnp.int32(f))
+        host_cursor = (host_cursor + 1) % cap
+    assert host_cursor == int(np.asarray(db_sh.next_slot.addressable_data(0))), (
+        host_cursor,
+        int(np.asarray(db_sh.next_slot.addressable_data(0))),
+    )
+    last_best = int(np.asarray(got.best_frame.addressable_data(0)))
+    assert last_best == 2, f"revisit query found frame {last_best}, wanted 2"
+
     print(
         f"OK p{pid}: {nproc} processes x {n_local} devices, "
-        f"cost {cost_curve[0]:.4f} -> {cost_curve[-1]:.6f}, pool sharded ok",
+        f"cost {cost_curve[0]:.4f} -> {cost_curve[-1]:.6f}, pool sharded ok, "
+        f"LCD sharded ok ({n_kf} keyframes, ring wrapped, cursor mirror in "
+        f"sync, revisit hit frame {last_best})",
         flush=True,
     )
     return 0
