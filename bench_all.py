@@ -130,11 +130,11 @@ def bench_slam(params, frames, cfg):
         wait_s = 0.0
         host_s = 0.0
 
-        def _consume(self, fidx, fut, wa):
+        def _consume(self, fidx, fut, wa, fidx_dev=None):
             t0 = time.perf_counter()
             fut.result()  # idempotent; Future caches the value
             t1 = time.perf_counter()
-            super()._consume(fidx, fut, wa)
+            super()._consume(fidx, fut, wa, fidx_dev)
             self.wait_s += t1 - t0
             self.host_s += time.perf_counter() - t1
 
@@ -182,12 +182,12 @@ def bench_slam(params, frames, cfg):
             cfg.frontend.top_n, cfg.loop.vocab_size,
         )
 
-    state, pool, packed, _wa = fused(state, pool, imgs[1], 1)
+    state, pool, packed, _wa, _fx = fused(state, pool, imgs[1], 1)
     np.asarray(packed[:1])  # compile + execute barrier
     rounds = len(imgs) - 2
     t0 = time.perf_counter()
     for r in range(rounds):
-        state, pool, packed, _wa = fused(state, pool, imgs[2 + r], 2 + r)
+        state, pool, packed, _wa, _fx = fused(state, pool, imgs[2 + r], 2 + r)
     np.asarray(packed[:1])
     device_ms = (time.perf_counter() - t0) / rounds * 1e3
     dev.close()

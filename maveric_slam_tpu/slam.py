@@ -210,7 +210,11 @@ def _fused_step_lc(
     packed = _StepPacker(top_n, vocab_size).pack(
         step, wa.word_id, pool.num_sightings
     )
-    return state, pool, packed, wa.word_id
+    # Device-side frame counter: uploading a fresh jnp.int32(frame) per
+    # frame costs one host->device round-trip on tunneled runtimes
+    # (measured ~13 ms each); the program returns fidx+1 for the next
+    # dispatch instead.
+    return state, pool, packed, wa.word_id, fidx + 1
 
 
 @partial(
@@ -259,17 +263,130 @@ def _pack_lcd(best, best_frame, best_score):
 
 
 @partial(jax.jit, donate_argnames=("state",))
-def _scatter_depth(state: trk.TrackerState, cells, vals, ok):
+def _scatter_depth(state: trk.TrackerState, packed):
     """Write BA-optimized depths into the (possibly newer) tracker state.
 
+    packed: (cap, 3) f32 [cell, depth, ok] — ONE upload instead of three
+    (each host->device transfer is a round-trip on tunneled runtimes).
     Fixed-capacity masked scatter: no device->host read of the live state,
     so the apply never stalls the tracking pipeline."""
+    cells = packed[:, 0].astype(jnp.int32)
+    vals = packed[:, 1]
+    ok = packed[:, 2] > 0.5
     # Masked lanes get an out-of-range index and mode="drop" so they cannot
     # collide with a genuine write to cell 0.
     idx = jnp.where(ok, cells, state.depth.shape[0])
     depth = state.depth.at[idx].set(vals, mode="drop")
     valid = state.depth_valid.at[idx].set(True, mode="drop")
     return state._replace(depth=depth, depth_valid=valid)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "iterations", "num_anchored"),
+)
+def _window_ba_packed(flat, config, iterations: int, num_anchored: int):
+    """Window BA from ONE packed f32 upload, returning ONE packed buffer.
+
+    The round-4 design uploaded the six problem arrays separately (six
+    host->device round-trips on the tunnel per BA window) and already
+    packed the solve output; this closes the input side too. Layout:
+    R (P,3,3) | t (P,3) | X (L,3) | uv (L,P,2) | mask (L,P)."""
+    p = config.ba.num_poses
+    l = config.ba.max_landmarks
+    off = 0
+
+    def take(n, shape):
+        nonlocal off
+        out = flat[off : off + n].reshape(shape)
+        off += n
+        return out
+
+    R = take(p * 9, (p, 3, 3))
+    t = take(p * 3, (p, 3))
+    X = take(l * 3, (l, 3))
+    uv = take(l * p * 2, (l, p, 2))
+    mask = take(l * p, (l, p)) > 0.5
+    problem = ba.BAProblem(
+        K=jnp.asarray(config.working_camera.K), R=R, t=t, X=X, uv=uv,
+        mask=mask,
+    )
+    solved, _stats = ba.bundle_adjust.__wrapped__(
+        problem,
+        iterations=iterations,
+        damping=config.ba.lm_damping,
+        huber_delta=config.ba.huber_delta,
+        num_anchored=num_anchored,
+    )
+    return jnp.concatenate(
+        [solved.R.reshape(-1), solved.t.reshape(-1), solved.X.reshape(-1)]
+    )
+
+
+@partial(jax.jit, static_argnames=("config", "top_n"))
+def _verify_loop_device(flat, key, config, top_n: int):
+    """Loop-candidate geometric verification as ONE device program.
+
+    The round-4 host implementation uploaded six arrays, dispatched four
+    programs, and fetched five results per candidate (~12 tunnel
+    round-trips, 150-300 ms each on keyframes with an LCD hit). Input is
+    one packed f32 buffer [desc_a (N,256) | mask_a | xy_a (N,2) | desc_b
+    (N,256) | mask_b | xy_b (N,2)]; output one packed buffer
+    [num_inliers | R (9) | t (3) | inliers (N) | z_unit (N)]."""
+    n = top_n
+    off = 0
+
+    def take(cnt, shape):
+        nonlocal off
+        out = flat[off : off + cnt].reshape(shape)
+        off += cnt
+        return out
+
+    d_a = take(n * 256, (n, 256))
+    mask_a = take(n, (n,)) > 0.5
+    xy_a = take(n * 2, (n, 2))
+    d_b = take(n * 256, (n, 256))
+    mask_b = take(n, (n,)) > 0.5
+    xy_b = take(n * 2, (n, 2))
+    d_a = d_a / jnp.maximum(
+        jnp.linalg.norm(d_a, axis=-1, keepdims=True), 1e-9
+    )
+    d_b = d_b / jnp.maximum(
+        jnp.linalg.norm(d_b, axis=-1, keepdims=True), 1e-9
+    )
+    m = matching.nn_match_dot(
+        d_a, d_b, mask_a, mask_b, dot_thresh=config.matcher.dot_thresh
+    )
+    K = jnp.asarray(config.working_camera.K)
+    p1 = epipolar.normalize_points(xy_a, K)
+    p2 = epipolar.normalize_points(xy_b[m.index], K)
+    rr = ransac.ransac_essential(
+        key, p1, p2, m.mask,
+        inlier_thresh=config.ransac.inlier_thresh,
+        num_hypotheses=config.ransac.num_hypotheses,
+    )
+    X_unit = epipolar.triangulate(rr.R, rr.t, p1, p2)
+    # Median inlier pixel displacement: the host uses it to bound the
+    # loop edge's translation magnitude — an exact-revisit pair has ~zero
+    # baseline, its RANSAC translation direction and unit-depth ratios
+    # are pure noise, and an unbounded depth-ratio scale turns that noise
+    # into a multi-meter fake constraint (observed on the synthetic
+    # closing orbit: identical-view loop pairs produced 4-10 m edge
+    # translations where ground truth is 0).
+    disp = jnp.linalg.norm(xy_a - xy_b[m.index], axis=-1)
+    order = jnp.sort(jnp.where(rr.inliers, disp, jnp.inf))
+    k = jnp.maximum(rr.num_inliers - 1, 0) // 2
+    flow_med = jnp.where(rr.num_inliers > 0, order[k], 0.0)
+    return jnp.concatenate(
+        [
+            rr.num_inliers[None].astype(jnp.float32),
+            rr.R.reshape(-1),
+            rr.t,
+            flow_med[None],
+            rr.inliers.astype(jnp.float32),
+            X_unit[:, 2],
+        ]
+    )
 
 
 class SlamSystem:
@@ -316,7 +433,8 @@ class SlamSystem:
         self._last_kf = 0
 
         # Async pipeline state.
-        self._pending: List[tuple] = []  # (frame_idx, step, wa, sightings)
+        self._pending: List[tuple] = []  # (frame_idx, fut, wa, fidx_dev)
+        self._fidx_dev = None  # device-resident frame counter (see process)
         self._pending_ba: Optional[tuple] = None
         self._pending_loops: List[tuple] = []
         self._sightings_host: Optional[np.ndarray] = None
@@ -386,11 +504,17 @@ class SlamSystem:
                 self.pool, self.frame_idx, self.mesh
             )
             packed = _append_sightings(head, self.pool.num_sightings)
+            fidx_dev = None
         elif self.enable_loop_closure:
-            self.state, self.pool, packed, wa = _fused_step_lc(
+            # Device-resident frame counter: one upload at stream start,
+            # then the fused program returns fidx+1 (a per-frame
+            # jnp.int32() upload is a ~13 ms round-trip on the tunnel).
+            if self._fidx_dev is None:
+                self._fidx_dev = jnp.int32(self.frame_idx)
+            fidx_dev = self._fidx_dev
+            self.state, self.pool, packed, wa, self._fidx_dev = _fused_step_lc(
                 self.params, self.vocab, self.state, self.pool, img,
-                jnp.int32(self.frame_idx), cfg, cfg.frontend.top_n,
-                cfg.loop.vocab_size,
+                fidx_dev, cfg, cfg.frontend.top_n, cfg.loop.vocab_size,
             )
         else:
             self.state, packed = _tracked_step_packed(
@@ -398,6 +522,7 @@ class SlamSystem:
                 self.config.frontend.top_n,
             )
             wa = None
+            fidx_dev = None
         _async_to_host(packed)
         # Materialize the host payload on the fetch pool: on runtimes where
         # copy_to_host_async is not honored (the tunneled TPU used for
@@ -407,7 +532,7 @@ class SlamSystem:
         # with compute and with other frames' fetches by the pool. `wa`
         # stays device-resident for the keyframe LCD path.
         fut = self._fetch_pool.submit(np.asarray, packed)
-        self._pending.append((self.frame_idx, fut, wa))
+        self._pending.append((self.frame_idx, fut, wa, fidx_dev))
         while len(self._pending) > self.fetch_delay:
             self._consume(*self._pending.pop(0))
 
@@ -434,11 +559,13 @@ class SlamSystem:
 
     # ------------------------------------------------------------------ #
 
-    def _consume(self, fidx: int, fut, wa) -> None:
+    def _consume(self, fidx: int, fut, wa, fidx_dev=None) -> None:
         """Host-side bookkeeping for one tracked frame. `fut` resolves to
         the numpy-materialized packed step buffer prefetched on the fetch
         pool (see _StepPacker); `wa` is the still-device-resident word-id
-        vector the keyframe LCD path reuses without re-upload."""
+        vector the keyframe LCD path reuses without re-upload; `fidx_dev`
+        is the device-resident copy of fidx captured at dispatch time (the
+        keyframe LCD path reuses it without a scalar upload)."""
         step = self._packer.unpack(fut.result())
         sightings, word_ids = step.sightings, step.word_ids
         R = np.asarray(step.R)
@@ -480,7 +607,7 @@ class SlamSystem:
                 self._apply_pending_ba()
 
         if self.enable_loop_closure:
-            self._keyframe_step(fidx, step, wa)
+            self._keyframe_step(fidx, step, wa, fidx_dev)
         self._resolve_pending_loops(force=self.fetch_delay == 0)
 
     # ------------------------------------------------------------------ #
@@ -546,17 +673,17 @@ class SlamSystem:
             )
             mask = np.concatenate([mask, np.zeros((mask.shape[0], pad), bool)], 1)
 
-        problem = ba.BAProblem(
-            K=jnp.asarray(self.config.working_camera.K),
-            R=jnp.asarray(R_cw),
-            t=jnp.asarray(t_cw),
-            X=jnp.asarray(np.nan_to_num(X0), jnp.float32),
-            uv=jnp.asarray(uv),
-            mask=jnp.asarray(mask),
-        )
         if self.mesh is not None:
             from .parallel import sharded_ba
 
+            problem = ba.BAProblem(
+                K=jnp.asarray(self.config.working_camera.K),
+                R=jnp.asarray(R_cw),
+                t=jnp.asarray(t_cw),
+                X=jnp.asarray(np.nan_to_num(X0), jnp.float32),
+                uv=jnp.asarray(uv),
+                mask=jnp.asarray(mask),
+            )
             # Landmark capacity must tile the mesh (config sizing contract).
             assert problem.X.shape[0] % self.mesh.size == 0
             solved, _costs = sharded_ba.sharded_bundle_adjust(
@@ -567,34 +694,48 @@ class SlamSystem:
                 huber_delta=self.config.ba.huber_delta,
                 num_anchored=2,
             )
-        else:
-            solved, stats = ba.bundle_adjust(
-                problem,
-                iterations=self.config.ba.max_iterations,
-                damping=self.config.ba.lm_damping,
-                huber_delta=self.config.ba.huber_delta,
-                # Two anchors: gauge + monocular scale (a single anchor lets
-                # BA slide the window scale, which shows up directly as ATE
-                # drift).
-                num_anchored=2,
+            packed = jnp.concatenate(
+                [
+                    solved.R.reshape(-1),
+                    solved.t.reshape(-1),
+                    solved.X.reshape(-1),
+                ]
             )
-        # ONE packed device buffer for the whole solve: on high-RTT
-        # (tunneled) runtimes every separate np.asarray materialization is
-        # a full round-trip, and the apply used to fetch R, t, X as
-        # distinct arrays (~7 RTTs per BA window — measured 190 ms/apply,
-        # the dominant cost of the integrated engine).
-        packed = jnp.concatenate(
-            [solved.R.reshape(-1), solved.t.reshape(-1), solved.X.reshape(-1)]
-        )
+        else:
+            # ONE packed upload for the whole problem and ONE packed
+            # buffer for the whole solve: on high-RTT (tunneled) runtimes
+            # every transfer is a full round-trip — the round-3 design
+            # paid ~6 uploads + ~7 fetches per BA window (measured 190
+            # ms/apply, the dominant cost of the integrated engine).
+            # Two anchors: gauge + monocular scale (a single anchor lets
+            # BA slide the window scale, which shows up directly as ATE
+            # drift).
+            flat = np.concatenate(
+                [
+                    R_cw.ravel(),
+                    t_cw.ravel(),
+                    np.nan_to_num(X0).astype(np.float32).ravel(),
+                    uv.ravel(),
+                    mask.astype(np.float32).ravel(),
+                ]
+            )
+            packed = _window_ba_packed(
+                jnp.asarray(flat), self.config,
+                self.config.ba.max_iterations, 2,
+            )
         _async_to_host(packed)
-        self._pending_ba = (frames, packed, uv, mask, tids, n_real)
+        # Materialize on the fetch pool (like the per-frame step pack): a
+        # blocking np.asarray at apply time costs one tunnel RTT inside
+        # _consume (~7 ms/frame amortized at ba_every=4).
+        fut = self._fetch_pool.submit(np.asarray, packed)
+        self._pending_ba = (frames, fut, uv, mask, tids, n_real)
 
     def _apply_pending_ba(self) -> None:
         if self._pending_ba is None:
             return
-        frames, packed, uv, mask, tids, n_real = self._pending_ba
+        frames, fut, uv, mask, tids, n_real = self._pending_ba
         self._pending_ba = None
-        flat = np.asarray(packed)  # single host materialization
+        flat = fut.result()  # prefetched on the pool; blocks only if early
         p = self.config.ba.num_poses
         R_all = flat[: p * 9].reshape(p, 3, 3)
         t_all = flat[p * 9 : p * 12].reshape(p, 3)
@@ -662,24 +803,18 @@ class SlamSystem:
         }
         tids = np.asarray(tids)
         cap = self.config.ba.max_landmarks
-        cells = np.zeros((cap,), np.int32)
-        vals = np.zeros((cap,), np.float32)
-        okv = np.zeros((cap,), bool)
+        packed = np.zeros((cap, 3), np.float32)
         k = 0
         for l in np.nonzero(good)[0]:
             c = cell_of_tid.get(int(tids[l]))
             if c is None:
                 continue
-            cells[k], vals[k], okv[k] = c, z[l], True
+            packed[k] = (c, z[l], 1.0)
             k += 1
         if k:
-            # Device-side masked scatter: no fetch of the live state.
-            self.state = _scatter_depth(
-                self.state,
-                jnp.asarray(cells),
-                jnp.asarray(vals),
-                jnp.asarray(okv),
-            )
+            # Device-side masked scatter: no fetch of the live state; one
+            # packed upload instead of three.
+            self.state = _scatter_depth(self.state, jnp.asarray(packed))
 
     def _triangulate_landmarks(self, uv, mask, R_cw, t_cw) -> np.ndarray:
         """Two-view midpoint triangulation per landmark from its first/last
@@ -739,11 +874,13 @@ class SlamSystem:
         ratio = num_inliers / max(self.config.frontend.top_n, 1)
         return ratio < kc.min_match_ratio
 
-    def _keyframe_step(self, fidx: int, step, wa) -> None:
+    def _keyframe_step(self, fidx: int, step, wa, fidx_dev=None) -> None:
         if not self._is_keyframe(fidx, int(step.num_inliers)):
             return
         self._last_kf = fidx
         cfg = self.config.loop
+        if fidx_dev is None:
+            fidx_dev = jnp.int32(fidx)
 
         # wa is the device-resident word-id vector from the fused step
         # (re-uploading the host copy would cost a transfer per keyframe).
@@ -754,26 +891,27 @@ class SlamSystem:
                 self.db,
                 wa,
                 self.mesh,
-                jnp.int32(fidx),
+                fidx_dev,
                 min_frame_gap=cfg.min_frame_gap,
                 min_score=cfg.min_score,
             )
             slot = self._next_slot
             self.db = sharded_lcd.sharded_add_frame(
-                self.db, wa, jnp.int32(fidx), self.mesh
+                self.db, wa, fidx_dev, self.mesh
             )
         else:
             res = lcd.query(
                 self.db,
                 wa,
-                current_frame=jnp.int32(fidx),
+                current_frame=fidx_dev,
                 min_frame_gap=cfg.min_frame_gap,
                 min_score=cfg.min_score,
             )
             slot = self._next_slot
-            self.db = lcd.add_frame(self.db, wa, jnp.int32(fidx))
+            self.db = lcd.add_frame(self.db, wa, fidx_dev)
         res = _pack_lcd(res.best, res.best_frame, res.best_score)
         _async_to_host(res)
+        res = self._fetch_pool.submit(np.asarray, res)
         self._next_slot = (slot + 1) % cfg.max_db_frames
         cur_entry = {
             "frame": fidx,
@@ -799,7 +937,7 @@ class SlamSystem:
             if not force and consumed_upto - kf_frame < self.fetch_delay:
                 remaining.append((kf_frame, res, cur_entry))
                 continue
-            r = np.asarray(res)  # (3,) packed [best, best_frame, best_score]
+            r = res.result()  # (3,) packed [best, best_frame, best_score]
             best_slot = int(r[0])
             if best_slot < 0:
                 continue
@@ -819,31 +957,22 @@ class SlamSystem:
     ) -> Optional[LoopClosureEvent]:
         """Geometric check of an LCD candidate + pose-graph correction."""
         matched_frame = entry["frame"]
-        d_a = entry["desc"].astype(np.float32)
-        d_b = cur_entry["desc"].astype(np.float32)
-        d_a /= np.maximum(np.linalg.norm(d_a, axis=-1, keepdims=True), 1e-9)
-        d_b /= np.maximum(np.linalg.norm(d_b, axis=-1, keepdims=True), 1e-9)
-        cur_xy = cur_entry["xy"]
-        cur_mask = cur_entry["mask"]
-        m = matching.nn_match_dot(
-            jnp.asarray(d_a),
-            jnp.asarray(d_b),
-            jnp.asarray(entry["mask"]),
-            jnp.asarray(cur_mask),
-            dot_thresh=self.config.matcher.dot_thresh,
-        )
-        K = jnp.asarray(self.config.working_camera.K)
-        p1 = epipolar.normalize_points(jnp.asarray(entry["xy"]), K)
-        p2 = epipolar.normalize_points(
-            jnp.asarray(cur_xy[np.asarray(m.index)]), K
+        n = self.config.frontend.top_n
+        flat = np.concatenate(
+            [
+                entry["desc"].astype(np.float32).ravel(),
+                entry["mask"].astype(np.float32),
+                entry["xy"].astype(np.float32).ravel(),
+                cur_entry["desc"].astype(np.float32).ravel(),
+                cur_entry["mask"].astype(np.float32),
+                cur_entry["xy"].astype(np.float32).ravel(),
+            ]
         )
         self.key, sub = jax.random.split(self.key)
-        rr = ransac.ransac_essential(
-            sub, p1, p2, m.mask,
-            inlier_thresh=self.config.ransac.inlier_thresh,
-            num_hypotheses=self.config.ransac.num_hypotheses,
+        out = np.asarray(
+            _verify_loop_device(jnp.asarray(flat), sub, self.config, n)
         )
-        n_in = int(rr.num_inliers)
+        n_in = int(out[0])
         if n_in < 30:
             return None
 
@@ -858,12 +987,14 @@ class SlamSystem:
         # the camera is drift-many meters away and the pose graph has
         # nothing to correct (measured: zero drift reduction at 500
         # frames; see tests/test_long_sequence.py).
-        R_lc = np.asarray(rr.R)  # p_cur = R p_matched + t
-        X_unit = np.asarray(epipolar.triangulate(rr.R, rr.t, p1, p2))
-        z_unit = X_unit[:, 2]
+        R_lc = out[1:10].reshape(3, 3)  # p_cur = R p_matched + t
+        t_dir = out[10:13]
+        flow_med_px = float(out[13])
+        inliers = out[14 : 14 + n] > 0.5
+        z_unit = out[14 + n : 14 + 2 * n]
         good = (
-            np.asarray(rr.inliers)
-            & np.asarray(entry["depth_ok"])
+            inliers
+            & entry["depth_ok"]
             & (z_unit > 1e-3)
             & (z_unit < 1e3)
             & (entry["depth"] > 0.1)
@@ -881,16 +1012,27 @@ class SlamSystem:
             if not np.isfinite(t_scale):
                 t_scale = guess_norm
             t_scale = min(t_scale, guess_norm + 5.0 * step_scale)
+            # Observability bound: translation-induced flow is at most the
+            # total flow, so the baseline cannot exceed roughly
+            # flow_px * depth / f. A near-zero-flow revisit therefore
+            # pins the edge translation near zero (its ground truth)
+            # instead of letting depth-ratio noise through the clamp.
+            K = self.config.working_camera.K
+            med_depth = float(np.median(entry["depth"][good]))
+            t_scale = min(
+                t_scale,
+                1.5 * flow_med_px * med_depth / float(K[0, 0]) + 0.05,
+            )
         else:
             # Fallback: magnitude from the current estimate (drift and all)
             # — better than rejecting the rotation constraint outright.
             t_scale = guess_norm
-        R_m_lc, t_m_lc = lie.se3_inverse(
-            jnp.asarray(R_lc), jnp.asarray(np.asarray(rr.t) * t_scale, jnp.float32)
-        )
-        self.loop_edges.append(
-            (matched_frame, cur, np.asarray(R_m_lc), np.asarray(t_m_lc))
-        )
+        # Tiny fixed-size inverse: do it in numpy (a device dispatch +
+        # fetch would cost two tunnel round-trips).
+        t_lc = t_dir * t_scale
+        R_m_lc = R_lc.T
+        t_m_lc = -R_lc.T @ t_lc
+        self.loop_edges.append((matched_frame, cur, R_m_lc, t_m_lc))
         if len(self.loop_edges) > self.MAX_LOOP_EDGES:
             # Evict by keeping the longest-range edges (they anchor the
             # trajectory across epochs — exactly the constraint odometry
