@@ -21,13 +21,19 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the e2e tests re-trace the same tracker /
-# BA programs every run; caching compiled executables across runs cuts the
-# suite from ~14 min to ~2 min after the first run.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Persistent compilation cache: DISABLED. It cut the warm suite from
+# ~14 min to ~2 min, but this jaxlib's XLA:CPU AOT deserialization
+# segfaults on the cache-READ path (jax/_src/compilation_cache.py
+# get_executable_and_time, SIGSEGV at ~50% of a warm run; it also warns
+# "Compile machine features ... not supported on the host ... could lead
+# to execution errors such as SIGILL" on every load). Cold runs — cache
+# off or empty — pass 100%. Re-enable by exporting
+# MAVERIC_SLAM_TPU_TEST_CACHE=1 if a fixed jaxlib lands.
+if os.environ.get("MAVERIC_SLAM_TPU_TEST_CACHE"):
+    _CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest
